@@ -1,0 +1,89 @@
+"""Training / solver configuration.
+
+Replaces the reference's argparse namespace (`src/utils/get_param.py:19-82`) with
+a frozen dataclass that can be serialized to JSON for checkpoint restore
+(parity with `commandline_args.json`, Logger.py:208-209).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class Config:
+    # network
+    net: str = "TransFVGN_v2"          # {"FVGN", "TransFVGN_v1", "TransFVGN_v2"}
+    hidden_size: int = 128
+    message_passing_num: int = 3
+    node_phi_size: int = 3             # uvp channels at the front of x
+    node_input_size: int = 12          # uvp(3) + theta_PDE(9)
+    node_output_size: int = 3
+    attn_heads: int = 8
+    slice_num: int = 32
+
+    # training
+    n_epochs: int = 210_000
+    batch_size: int = 8
+    average_sequence_length: int = 500
+    dataset_size: int = 100
+    lr: float = 5e-5
+    min_lr: float = 1e-6
+    max_inner_steps: int = 20
+    residual_tolerance: float = 1e-7
+
+    # train strategy (parity: get_param.py:47-56)
+    integrator: str = "imex"           # {"explicit", "implicit", "imex"}
+    norm_uvp: bool = True
+    norm_global: bool = True
+    ncn_smooth: bool = True
+    conserved_form: bool = True
+    order: str = "2nd"                 # WLSQ order {"1st","2nd","3rd","4th"}
+
+    # loss weights (parity: get_param.py:59-61)
+    loss_cont: float = 6e4
+    loss_mom: float = 5e4
+    loss_press: float = 1.0
+
+    # dataset
+    dataset_dir: str = "datasets/balanced_datasets"
+
+    # TPU-specific
+    dtype: str = "float32"             # compute dtype for the network
+    mxu_dtype: str = "bfloat16"        # matmul input dtype ("float32" to disable)
+    dp_devices: int = 1                # data-parallel shard count of the batch axis
+
+    @property
+    def edge_input_size(self) -> int:
+        # relative x (node_input_size) + relative pos (2) + |relative pos| (1).
+        # Parity: importer.py:25 / importer.py:54-78.
+        return self.node_input_size + 3
+
+    @property
+    def wlsq_dim(self) -> int:
+        return {"1st": 2, "2nd": 5, "3rd": 9, "4th": 14}[self.order]
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(text: str) -> "Config":
+        data = json.loads(text)
+        fields = {f.name for f in dataclasses.fields(Config)}
+        return Config(**{k: v for k, v in data.items() if k in fields})
+
+
+def load_config(path: str) -> Config:
+    with open(path, "rt") as f:
+        return Config.from_json(f.read())
+
+
+def save_config(cfg: Config, path: str) -> None:
+    with open(path, "wt") as f:
+        f.write(cfg.to_json())
