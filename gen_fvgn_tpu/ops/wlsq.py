@@ -1,0 +1,213 @@
+"""Weighted-least-squares (WLSQ) gradient reconstruction — the numerical heart.
+
+Reconstructs per-node derivative vectors of arbitrary node fields from an
+extended node-pair stencil by solving, per node, the normal equations
+
+    A x = B,   A = Σ_edges w · d dᵀ,   B = Σ_edges w · d · Δφ
+
+where d is the Taylor displacement basis of the chosen order and w = 1/‖Δpos‖.
+
+Behavior parity with reference `src/FVMmodel/FVdiscretization/FVorder.py`
+(`moments_order` :7-86) and `FVgrad.py` (`compute_normal_matrix` :183-232,
+`node_based_WLSQ` :235-367), redesigned for TPU:
+
+* static-shape padded stencils with boolean masks instead of dynamic edge sets;
+* the reverse-direction B rows are derived from the stored one-way rows with a
+  per-column parity sign vector (equivalent to the column-slice negation at
+  FVgrad.py:301-310, but branch-free for all orders);
+* the per-node k×k solve runs as one batched `jnp.linalg.solve` (XLA batched
+  LU) in float32 with the same row-normalization conditioning trick
+  (FVgrad.py:335-337); padded nodes get an identity system so the batch stays
+  dense and non-singular.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from gen_fvgn_tpu.ops.segment import segment_sum
+
+# derivative-vector length per order: [ux,uy | uxx/2-basis... ] see taylor_basis
+WLSQ_DIM = {"1st": 2, "2nd": 5, "3rd": 9, "4th": 14}
+
+# Sign of each basis column under d -> -d (monomial parity): odd-degree
+# columns flip. Layout matches taylor_basis below.
+_COLUMN_PARITY = jnp.asarray(
+    [-1.0, -1.0,                      # dx, dy                (degree 1)
+     1.0, 1.0, 1.0,                   # dx²/2, dy²/2, dxdy    (degree 2)
+     -1.0, -1.0, -1.0, -1.0,          # cubic terms           (degree 3)
+     1.0, 1.0, 1.0, 1.0, 1.0])        # quartic terms         (degree 4)
+
+# Monomial total degree of each basis column (for local length scaling).
+_COLUMN_DEGREE = jnp.asarray(
+    [1.0, 1.0, 2.0, 2.0, 2.0, 3.0, 3.0, 3.0, 3.0, 4.0, 4.0, 4.0, 4.0, 4.0])
+
+
+def odd_sign_vector(order: str) -> jnp.ndarray:
+    return _COLUMN_PARITY[: WLSQ_DIM[order]]
+
+
+def column_degrees(order: str) -> jnp.ndarray:
+    return _COLUMN_DEGREE[: WLSQ_DIM[order]]
+
+
+def taylor_basis(d: jnp.ndarray, order: str) -> jnp.ndarray:
+    """Taylor displacement basis for edge displacement d = pos_out - pos_in.
+
+    d: [M, 2] -> [M, k] with k = WLSQ_DIM[order]. Column layout (parity:
+    FVorder.py:23-72):
+      1st: [dx, dy]
+      2nd: + [dx²/2, dy²/2, dx·dy]
+      3rd: + [dx³/6, dy³/6, dx²dy/2, dy²dx/2]
+      4th: + [dx⁴/24, dx³dy/6, dx²dy²/4, dxdy³/6, dy⁴/24]
+    """
+    dx, dy = d[:, 0:1], d[:, 1:2]
+    cols = [dx, dy]
+    if order in ("2nd", "3rd", "4th"):
+        cols += [0.5 * dx * dx, 0.5 * dy * dy, dx * dy]
+    if order in ("3rd", "4th"):
+        cols += [dx ** 3 / 6.0, dy ** 3 / 6.0,
+                 0.5 * dx * dx * dy, 0.5 * dy * dy * dx]
+    if order == "4th":
+        cols += [dx ** 4 / 24.0, dx ** 3 * dy / 6.0,
+                 0.25 * dx * dx * dy * dy, dx * dy ** 3 / 6.0, dy ** 4 / 24.0]
+    if order not in WLSQ_DIM:
+        raise ValueError(f"order must be one of {list(WLSQ_DIM)}, got {order!r}")
+    return jnp.concatenate(cols, axis=-1)
+
+
+def wlsq_moments(
+    pos: jnp.ndarray,            # [N, 2]
+    stencil: jnp.ndarray,        # [2, Es] one-way node pairs (s, r)
+    order: str,
+    stencil_mask: Optional[jnp.ndarray] = None,  # [Es] bool
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Precompute the per-node normal matrix A, the one-way B rows, and the
+    local column scaling.
+
+    Each stored edge (s, r) contributes twice (both directions), exactly like
+    the reference's two-way concatenation (FVgrad.py:202-209):
+      direction (s→r): d = pos[s]-pos[r], accumulates at r;
+      direction (r→s): d flips sign,     accumulates at s.
+
+    Under d → -d the basis columns pick up their parity sign, so the reverse
+    outer product is (signs·signsᵀ) ⊙ (d dᵀ) — the mixed odd/even blocks flip
+    (only the 1st-order A is direction-symmetric).
+
+    Local coordinate scaling: each column c is divided by L_i^deg(c), where
+    L_i is the rms stencil-edge length at node i. TPU runs in f32 — without
+    this, the 9×9/14×14 normal matrices of orders 3/4 are numerically singular
+    (cond ~1e25 on a 1/24-spaced mesh). The reference relies on f64-capable
+    hardware and left this normalization commented out (FVgrad.py:215-217);
+    here it is load-bearing. In exact arithmetic the recovered derivatives
+    are unchanged.
+
+    Returns:
+      A        [N, k, k] — scaled normal matrix per node (both directions);
+      single_B [Es, k]   — UNSCALED w·d rows for the stored (s→r) direction
+                            (reverse rows = single_B * odd_sign_vector; apply
+                            colscale at the receiving node when accumulating);
+      colscale [N, k]    — L_i^{-deg(c)} column scaling. The solve's solution
+                            times colscale gives physical derivatives.
+    """
+    s, r = stencil[0], stencil[1]
+    n_nodes = pos.shape[0]
+    d = pos[s] - pos[r]                                  # [Es, 2]
+    norm = jnp.linalg.norm(d, axis=1, keepdims=True)
+    w = 1.0 / jnp.where(norm > 0, norm, 1.0)             # guard padded slots
+    disp = taylor_basis(d, order)                        # [Es, k]
+    wB = w * disp                                        # [Es, k]
+
+    # per-node rms stencil-edge length (both directions see the same |d|)
+    d2 = (norm ** 2)
+    l2 = segment_sum(d2, r, n_nodes, stencil_mask) + \
+        segment_sum(d2, s, n_nodes, stencil_mask)        # [N, 1]
+    ones = jnp.ones_like(d2)
+    cnt = segment_sum(ones, r, n_nodes, stencil_mask) + \
+        segment_sum(ones, s, n_nodes, stencil_mask)
+    L = jnp.sqrt(l2 / jnp.maximum(cnt, 1.0))             # [N, 1]
+    L = jnp.where(L > 0, L, 1.0)
+    colscale = L ** (-column_degrees(order)[None, :])    # [N, k]
+
+    signs = odd_sign_vector(order)
+    cs_r = colscale[r]                                   # [Es, k]
+    cs_s = colscale[s]
+    row_fwd = wB * cs_r
+    disp_fwd = disp * cs_r
+    outer_fwd = row_fwd[:, :, None] * disp_fwd[:, None, :]
+    row_rev = wB * cs_s
+    disp_rev = disp * cs_s
+    parity = signs[:, None] * signs[None, :]
+    outer_rev = (row_rev[:, :, None] * disp_rev[:, None, :]) * parity
+    A = segment_sum(outer_fwd, r, n_nodes, stencil_mask) + \
+        segment_sum(outer_rev, s, n_nodes, stencil_mask)
+    return A, wB, colscale
+
+
+def node_based_wlsq(
+    phi: jnp.ndarray,            # [N, C]
+    stencil: jnp.ndarray,        # [2, Es]
+    A: jnp.ndarray,              # [N, k, k] from wlsq_moments
+    single_B: jnp.ndarray,       # [Es, k]  from wlsq_moments (unscaled)
+    order: str,
+    colscale: Optional[jnp.ndarray] = None,  # [N, k] from wlsq_moments
+    stencil_mask: Optional[jnp.ndarray] = None,
+    node_mask: Optional[jnp.ndarray] = None,
+    rt_cond: bool = False,
+):
+    """Solve the WLSQ normal equations for every node.
+
+    Returns derivatives [N, C, k] (k per WLSQ_DIM: [:, :, 0:2] is the
+    gradient; columns 2:5 hold uxx, uyy, uxy at 2nd order, etc.). With
+    rt_cond=True also returns the per-node condition number of the
+    row-normalized A (parity: FVgrad.py:364-365).
+    """
+    s, r = stencil[0], stencil[1]
+    n_nodes, k = phi.shape[0], single_B.shape[1]
+    if colscale is None:
+        colscale = jnp.ones((n_nodes, k), dtype=phi.dtype)
+
+    dphi = phi[s] - phi[r]                               # [Es, C]
+    signs = odd_sign_vector(order)
+
+    # direction (s→r): rows single_B·colscale_r, accumulate at r with
+    # Δφ = φ_s − φ_r; direction (r→s): rows single_B·signs·colscale_s,
+    # accumulate at s with Δφ negated.
+    row_fwd = single_B * colscale[r]
+    row_rev = (single_B * signs) * colscale[s]
+    contrib_fwd = row_fwd[:, :, None] * dphi[:, None, :]             # [Es,k,C]
+    contrib_rev = row_rev[:, :, None] * (-dphi)[:, None, :]
+    B = segment_sum(contrib_fwd, r, n_nodes, stencil_mask) + \
+        segment_sum(contrib_rev, s, n_nodes, stencil_mask)           # [N,k,C]
+
+    # Row normalization for f32 conditioning (FVgrad.py:335-337).
+    row_norms = jnp.linalg.norm(A, axis=2, keepdims=True)            # [N,k,1]
+    A_n = A / (row_norms + 1e-8)
+    B_n = B / (row_norms + 1e-8)
+
+    # Tiny ridge: after row normalization the rows are O(1), so this is a
+    # ~1e-6 relative perturbation that keeps rank-deficient stencils (e.g.
+    # 8-neighbour corner nodes under a 9-unknown 3rd-order basis) finite
+    # instead of NaN. Orders 1-2 are insensitive to it.
+    A_n = A_n + 1e-6 * jnp.eye(k, dtype=A_n.dtype)[None]
+
+    if node_mask is not None:
+        # padded nodes: replace by identity system so the batched LU stays
+        # non-singular; their solution is 0 because B is 0 there.
+        eye = jnp.eye(k, dtype=A_n.dtype)
+        m = node_mask.astype(A_n.dtype)[:, None, None]
+        A_n = A_n * m + eye[None] * (1.0 - m)
+        B_n = B_n * m
+
+    nabla = jnp.linalg.solve(A_n, B_n)                               # [N,k,C]
+    # undo the local coordinate scaling: physical derivative = x̃ · L^{-deg}
+    nabla = nabla * colscale[:, :, None]
+    nabla = jnp.swapaxes(nabla, 1, 2)                                # [N,C,k]
+
+    if rt_cond:
+        sv = jnp.linalg.svd(A_n, compute_uv=False)
+        cond = sv[:, 0] / jnp.maximum(sv[:, -1], 1e-30)
+        return nabla, cond
+    return nabla

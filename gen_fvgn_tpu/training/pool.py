@@ -1,0 +1,172 @@
+"""Environment pool: the streaming (mesh × boundary-condition) curriculum.
+
+Behavior parity with the reference `Data_Pool` (Graph_loader.py:28-396):
+environments hold an autoregressive uvp state that the model writes back each
+outer step (`payback`), and the oldest environment is periodically re-rolled
+to a freshly sampled boundary condition (`reset_env`) — an experience-replay
+buffer over PDE instances.
+
+TPU redesign: every environment is a padded `MeshSample` in a single bucket,
+so a batch is a NumPy stack and BC re-rolls change only VALUES (θ, targets,
+initial uvp), never shapes — zero recompiles across resets (SURVEY.md §7).
+Stencils and WLSQ moments are computed once per mesh at load, exactly like
+the reference's `construct_stencil`/`calc_WLSQ_A_B_normal_matrix` guards
+(Load_mesh.py:427, :249).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from gen_fvgn_tpu.config import Config
+from gen_fvgn_tpu.graph.physics import init_environment, theta_vector
+from gen_fvgn_tpu.graph.sample import (MeshSample, PadSizes,
+                                       pad_mesh_to_sample, stack_samples)
+from gen_fvgn_tpu.meshes.bc import ThetaSample, generate_theta_combinations, load_bc
+from gen_fvgn_tpu.meshes.comsol import comsol_to_mesh
+from gen_fvgn_tpu.meshes.geometry import build_stencil, compile_mesh
+from gen_fvgn_tpu.meshes.hdf5 import read_mesh_h5
+
+
+def _jitted_moments(order: str):
+    import jax
+    from gen_fvgn_tpu.ops.wlsq import wlsq_moments
+    return jax.jit(lambda pos, stencil: wlsq_moments(pos, stencil, order))
+
+
+_MOMENTS_CACHE: Dict[str, object] = {}
+
+
+def prepare_mesh_statics(mesh: Dict[str, np.ndarray], order: str,
+                         k_hop: int = 2) -> Dict[str, np.ndarray]:
+    """Attach the WLSQ stencil and precomputed moments (once per mesh)."""
+    if "stencil" in mesh:
+        return mesh
+    n_nodes = mesh["node|pos"].shape[0]
+    stencil = build_stencil(mesh["face|face_node"].astype(np.int64),
+                            mesh["face_node_x"].astype(np.int64),
+                            n_nodes, k_hop=k_hop)
+    mesh["stencil"] = stencil
+
+    # moments via the same device kernel used at runtime (jitted, once/mesh)
+    if order not in _MOMENTS_CACHE:
+        _MOMENTS_CACHE[order] = _jitted_moments(order)
+    A, wB, colscale = _MOMENTS_CACHE[order](
+        mesh["node|pos"].astype(np.float32), stencil.astype(np.int32))
+    mesh["wlsq_A"] = np.asarray(A, dtype=np.float32)
+    mesh["wlsq_B"] = np.asarray(wB, dtype=np.float32)
+    mesh["wlsq_scale"] = np.asarray(colscale, dtype=np.float32)
+    return mesh
+
+
+def load_case(case_dir: str, order: str = "2nd") -> Dict:
+    """Load one case directory: .h5 if present, else parse + compile the
+    COMSOL mesh in place. Returns {"mesh", "bc", "combos", "case_name"}."""
+    bc = load_bc(os.path.join(case_dir, "BC.json"))
+    h5s = [f for f in os.listdir(case_dir) if f.endswith(".h5")]
+    if h5s:
+        mesh = read_mesh_h5(os.path.join(case_dir, h5s[0]))
+    else:
+        mphtxt = [f for f in os.listdir(case_dir) if f.endswith(".mphtxt")]
+        if not mphtxt:
+            raise FileNotFoundError(f"{case_dir}: no .h5 or .mphtxt mesh")
+        mesh = compile_mesh(
+            comsol_to_mesh(os.path.join(case_dir, mphtxt[0]), bc))
+    mesh = prepare_mesh_statics(mesh, order, k_hop=int(bc.get("stencil|khops", 2)))
+    return {
+        "mesh": mesh,
+        "bc": bc,
+        "combos": generate_theta_combinations(bc["theta_PDE"]),
+        "case_name": os.path.basename(os.path.abspath(case_dir)),
+    }
+
+
+@dataclass
+class Environment:
+    case: Dict                       # shared per-case statics
+    sample: MeshSample               # padded arrays (NumPy), mutable uvp
+    theta_sample: ThetaSample
+    age: int = 0
+
+
+class EnvPool:
+    """Pool of padded environments with payback / reset-BC streaming."""
+
+    def __init__(self, case_dirs: Sequence[str], cfg: Config,
+                 seed: int = 0, pad_multiple: int = 128,
+                 dataset_size: Optional[int] = None,
+                 cases: Optional[List[Dict]] = None):
+        self.cfg = cfg
+        self.rng = np.random.default_rng(seed)
+        if cases is not None:
+            self.cases = [dict(c) for c in cases]
+            for c in self.cases:
+                c["mesh"] = prepare_mesh_statics(
+                    dict(c["mesh"]), cfg.order,
+                    k_hop=int(c["bc"].get("stencil|khops", 2)))
+        else:
+            self.cases = [load_case(d, cfg.order) for d in case_dirs]
+
+        size = dataset_size if dataset_size is not None else cfg.dataset_size
+        size = max(size, cfg.batch_size)
+
+        self.sizes = PadSizes.for_meshes([c["mesh"] for c in self.cases],
+                                         multiple=pad_multiple)
+        self.envs: List[Environment] = []
+        i = 0
+        while len(self.envs) < size:
+            self.envs.append(self._make_env(self.cases[i % len(self.cases)]))
+            i += 1
+
+    # ---- environment construction / BC re-roll ----
+
+    def _make_env(self, case: Dict) -> Environment:
+        ts = case["combos"][self.rng.integers(len(case["combos"]))]
+        mesh = case["mesh"]
+        vals = theta_vector(case["bc"]["theta_PDE"], ts)
+        uvp, target = init_environment(
+            mesh["node|pos"].astype(np.float32),
+            mesh["node|node_type"].reshape(-1), ts,
+            inlet_type=case["bc"].get("inlet_type", "uniform"),
+            init_field_type=case["bc"].get("init_field_type", "uniform"))
+        prepared = dict(mesh)
+        prepared.update(vals)
+        prepared["uvp"] = uvp
+        prepared["target|uvp"] = target
+        prepared["sigma"] = np.asarray(case["bc"]["sigma"], dtype=np.float32)
+        sample = pad_mesh_to_sample(prepared, self.sizes, self.cfg.order)
+        return Environment(case=case, sample=sample, theta_sample=ts)
+
+    def reset_env(self) -> None:
+        """Pop the oldest environment, re-roll its boundary condition, append."""
+        old = self.envs.pop(0)
+        self.envs.append(self._make_env(old.case))
+
+    # ---- batching ----
+
+    def __len__(self) -> int:
+        return len(self.envs)
+
+    def batch_indices(self, step_seed: int) -> List[np.ndarray]:
+        """Epoch-seeded permutation split into batches of batch_size (parity:
+        SharedSampler, Graph_loader.py:786-828). Drops the ragged tail."""
+        perm = np.random.default_rng(step_seed).permutation(len(self.envs))
+        bs = self.cfg.batch_size
+        n_batches = len(self.envs) // bs
+        return [perm[i * bs:(i + 1) * bs] for i in range(n_batches)]
+
+    def gather_batch(self, idxs: np.ndarray) -> MeshSample:
+        return stack_samples([self.envs[int(i)].sample for i in idxs])
+
+    def payback(self, idxs: np.ndarray, uvp_new: np.ndarray) -> None:
+        """Write the detached new state back into the pooled environments
+        (parity: Data_Pool.payback, Graph_loader.py:370-383)."""
+        for row, i in enumerate(idxs):
+            env = self.envs[int(i)]
+            env.sample = env.sample.replace(
+                uvp=np.asarray(uvp_new[row], dtype=np.float32))
+            env.age += 1
