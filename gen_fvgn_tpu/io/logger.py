@@ -1,0 +1,99 @@
+"""Run directories, CSV loss monitor, and code snapshots.
+
+Behavior parity with reference `src/utils/Logger.py` (`Logger` :20-375):
+run dir layout `<base>/<hyperparam>/<datetime>/` with `states/` checkpoints,
+a source-code snapshot per run (:61-75), a loss monitor in Tecplot
+`Variables=` CSV format with dynamic column registration (:112-147), config
+JSON capture, and latest-run/index discovery for resume (:240-285).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import re
+import shutil
+from typing import Dict, List, Optional
+
+from gen_fvgn_tpu.config import Config
+
+
+def hyperparam_tag(cfg: Config) -> str:
+    return f"net {cfg.net}; hs {cfg.hidden_size};"
+
+
+class RunLogger:
+    def __init__(self, base_dir: str, cfg: Config, copy_code: bool = True,
+                 seed: Optional[int] = None, run_name: Optional[str] = None):
+        self.cfg = cfg
+        stamp = run_name or datetime.datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
+        self.run_dir = os.path.join(base_dir, hyperparam_tag(cfg), stamp)
+        self.states_dir = os.path.join(self.run_dir, "states")
+        self.results_dir = os.path.join(self.run_dir, "traing_results")
+        os.makedirs(self.states_dir, exist_ok=True)
+        os.makedirs(self.results_dir, exist_ok=True)
+
+        with open(os.path.join(self.run_dir, "config.json"), "wt") as f:
+            f.write(cfg.to_json())
+        if seed is not None:
+            with open(os.path.join(self.run_dir, "seed.txt"), "wt") as f:
+                f.write(str(seed))
+        if copy_code:
+            self._snapshot_code()
+
+        self._loss_path = os.path.join(self.run_dir, "Loss_monitor.dat")
+        self._columns: List[str] = []
+
+    def _snapshot_code(self) -> None:
+        """Copy the package source into the run dir for reproducibility."""
+        import gen_fvgn_tpu
+        src_root = os.path.dirname(os.path.abspath(gen_fvgn_tpu.__file__))
+        dst = os.path.join(self.run_dir, "code_snapshot", "gen_fvgn_tpu")
+        shutil.copytree(src_root, dst,
+                        ignore=shutil.ignore_patterns("__pycache__"),
+                        dirs_exist_ok=True)
+
+    # ---- loss monitor (Tecplot Variables= CSV) ----
+
+    def log_scalars(self, step: int, scalars: Dict[str, float]) -> None:
+        cols = ["step"] + sorted(scalars.keys())
+        if cols != self._columns:
+            self._columns = cols
+            header = "Variables=" + ",".join(f'"{c}"' for c in cols)
+            mode = "at" if os.path.exists(self._loss_path) else "wt"
+            with open(self._loss_path, mode) as f:
+                f.write(header + "\n")
+        row = [float(step)] + [float(scalars[k]) for k in sorted(scalars)]
+        with open(self._loss_path, "at") as f:
+            f.write(",".join(f"{v:.9e}" for v in row) + "\n")
+
+    # ---- checkpoint pathing / discovery ----
+
+    def state_path(self, index) -> str:
+        return os.path.join(self.states_dir, f"{index}.state")
+
+    @staticmethod
+    def find_latest_run(base_dir: str, cfg: Config) -> Optional[str]:
+        root = os.path.join(base_dir, hyperparam_tag(cfg))
+        if not os.path.isdir(root):
+            return None
+        runs = sorted(os.listdir(root))
+        return os.path.join(root, runs[-1]) if runs else None
+
+    @staticmethod
+    def find_latest_state(run_dir: str) -> Optional[str]:
+        states = os.path.join(run_dir, "states")
+        if not os.path.isdir(states):
+            return None
+        entries = [f for f in os.listdir(states)]
+        if not entries:
+            return None
+
+        def natkey(name):
+            return [int(t) if t.isdigit() else t
+                    for t in re.split(r"(\d+)", name)]
+        entries.sort(key=natkey)
+        newest = max(entries, key=lambda f: os.path.getmtime(
+            os.path.join(states, f)))
+        return os.path.join(states, newest)

@@ -1,0 +1,109 @@
+"""The data-free training loop.
+
+Behavior parity with reference `src/pre_train_Adam.py` (:112-212): outer
+epochs over the streaming environment pool; `max_inner_steps` inner Adam
+iterations per epoch; environment payback on the last inner iteration;
+periodic BC re-roll of the oldest environments; LR schedule stepped per
+epoch; rotating 3-slot checkpoints every 50 epochs.
+
+TPU-native structure: the inner iteration body is ONE jitted step (forward +
+FV loss + backward + Adam + normalizer), batches stay sharded over the dp
+mesh, and only the payback state (uvp [B, Np, 3]) crosses back to host — on
+the last inner iteration only, matching the reference's transfer pattern.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from gen_fvgn_tpu.config import Config
+from gen_fvgn_tpu.io.checkpoint import RotatingCheckpointer, load_state
+from gen_fvgn_tpu.io.logger import RunLogger
+from gen_fvgn_tpu.parallel.dp import make_mesh, shard_batch, shard_train_state
+from gen_fvgn_tpu.training.pool import EnvPool
+from gen_fvgn_tpu.training.train import (TrainState, init_train_state,
+                                         make_train_step)
+
+
+def train(
+    cfg: Config,
+    case_dirs: Sequence[str] = (),
+    cases=None,
+    log_base_dir: str = "runs",
+    seed: int = 0,
+    n_epochs: Optional[int] = None,
+    resume_from: Optional[str] = None,
+    pad_multiple: int = 128,
+    progress_every: int = 1,
+    logger: Optional[RunLogger] = None,
+) -> TrainState:
+    n_epochs = n_epochs if n_epochs is not None else cfg.n_epochs
+
+    pool = EnvPool(case_dirs, cfg, seed=seed, pad_multiple=pad_multiple,
+                   cases=cases)
+    cfg = cfg.replace(dataset_size=len(pool))
+
+    first = pool.gather_batch(np.arange(cfg.batch_size))
+    state, apply_fn = init_train_state(cfg, first, seed=seed)
+    if resume_from is not None:
+        state = load_state(resume_from, like=state)
+    step = make_train_step(cfg, apply_fn)
+
+    mesh = None
+    if cfg.dp_devices > 1:
+        mesh = make_mesh(cfg.dp_devices)
+        state = shard_train_state(state, mesh)
+
+    if logger is None:
+        logger = RunLogger(log_base_dir, cfg, seed=seed)
+    ckpt = RotatingCheckpointer(logger.states_dir)
+
+    train_steps = 0
+    reset_pending = 0
+    reset_every = max(1, math.ceil(cfg.average_sequence_length / len(pool)))
+    rst_time = max(1, math.ceil(len(pool) / cfg.average_sequence_length))
+
+    for epoch in range(n_epochs):
+        t0 = time.time()
+        if epoch % reset_every == 0 and epoch > 0:
+            reset_pending = rst_time
+
+        last_metrics = None
+        for i_iter in range(cfg.max_inner_steps):
+            train_steps += 1
+            payback = i_iter == cfg.max_inner_steps - 1
+            for idxs in pool.batch_indices(step_seed=train_steps):
+                batch = pool.gather_batch(idxs)
+                if mesh is not None:
+                    batch = shard_batch(batch, mesh)
+                state, metrics, uvp_new = step(state, batch)
+                last_metrics = metrics
+                if payback:
+                    pool.payback(idxs, np.asarray(uvp_new))
+
+        # BC curriculum: re-roll the oldest environments after payback
+        for _ in range(reset_pending):
+            pool.reset_env()
+        reset_pending = 0
+
+        state = state.replace(epoch=state.epoch + 1)
+
+        if last_metrics is not None and (epoch % progress_every == 0):
+            logger.log_scalars(epoch, {
+                "loss": float(last_metrics.loss),
+                "loss_cont": float(last_metrics.loss_cont),
+                "loss_mom": float(last_metrics.loss_mom),
+                "loss_press": float(last_metrics.loss_press),
+                "grad_norm": float(last_metrics.grad_norm),
+                "lr": float(last_metrics.lr),
+                "epoch_seconds": time.time() - t0,
+            })
+        if epoch % 50 == 0 or epoch == n_epochs - 1:
+            ckpt.save(state, epoch)
+
+    return state

@@ -1,0 +1,94 @@
+"""I/O: VTU/Tecplot writers, run logger, checkpoint roundtrip."""
+
+import os
+
+import numpy as np
+
+from gen_fvgn_tpu.config import Config
+from gen_fvgn_tpu.io.checkpoint import (RotatingCheckpointer, load_state,
+                                        save_state)
+from gen_fvgn_tpu.io.logger import RunLogger
+from gen_fvgn_tpu.io.tecplot import write_tecplot_zone
+from gen_fvgn_tpu.io.vtu import (write_point_cloud_vtu, write_vtp_polyline,
+                                 write_vtu_2d)
+from gen_fvgn_tpu.meshes.synthetic import cavity_quad_mesh, cavity_tri_mesh
+
+
+def test_vtu_writer(tmp_path):
+    mesh = cavity_tri_mesh(4)
+    path = str(tmp_path / "out.vtu")
+    write_vtu_2d(path, mesh["node|pos"], mesh["cells_node"],
+                 mesh["cells_index"],
+                 point_data={"node|u": np.random.rand(mesh["node|pos"].shape[0])},
+                 cell_data={"cell|area": mesh["cell|cells_area"]})
+    text = open(path).read()
+    assert "UnstructuredGrid" in text and "connectivity" in text
+    assert text.count("DataArray") >= 5
+
+
+def test_vtu_point_cloud_and_vtp(tmp_path):
+    mesh = cavity_quad_mesh(3)
+    write_point_cloud_vtu(str(tmp_path / "pc.vtu"),
+                          mesh["face|face_center_pos"],
+                          {"face_type": mesh["face|face_type"].astype(float)})
+    write_vtp_polyline(str(tmp_path / "edges.vtp"), mesh["node|pos"],
+                       mesh["face|face_node"])
+    assert os.path.exists(tmp_path / "pc.vtu")
+    assert "PolyData" in open(tmp_path / "edges.vtp").read()
+
+
+def test_tecplot_quad_zone(tmp_path):
+    mesh = cavity_quad_mesh(4)
+    n = mesh["node|pos"].shape[0]
+    nc = mesh["cell|cells_area"].shape[0]
+    path = str(tmp_path / "sol.dat")
+    write_tecplot_zone(path, mesh["node|pos"], mesh["cells_node"],
+                       mesh["cells_index"],
+                       {"U": np.random.rand(n), "P": np.random.rand(nc)})
+    text = open(path).read()
+    assert "FEQUADRILATERAL" in text
+    assert "CELLCENTERED" in text and "NODAL" in text
+
+
+def test_tecplot_polygon_zone(tmp_path):
+    mesh = cavity_tri_mesh(3)
+    n = mesh["node|pos"].shape[0]
+    path = str(tmp_path / "poly.dat")
+    write_tecplot_zone(path, mesh["node|pos"], mesh["cells_node"],
+                       mesh["cells_index"], {"U": np.random.rand(n)},
+                       face_node=mesh["face|face_node"],
+                       neighbour_cell=mesh["face|neighbour_cell"])
+    assert "FEPOLYGON" in open(path).read()
+
+
+def test_logger_and_checkpoint(tmp_path):
+    cfg = Config(hidden_size=16)
+    logger = RunLogger(str(tmp_path / "runs"), cfg, copy_code=False, seed=1)
+    logger.log_scalars(0, {"loss": 1.0, "lr": 1e-4})
+    logger.log_scalars(1, {"loss": 0.5, "lr": 1e-4})
+    text = open(logger._loss_path).read()
+    assert text.startswith("Variables=")
+    assert len(text.strip().splitlines()) == 3
+
+    state = {"w": np.arange(5.0), "b": np.float32(2.0)}
+    ck = RotatingCheckpointer(logger.states_dir)
+    p0 = ck.save(state, epoch=0)
+    ck.save({"w": np.zeros(5), "b": np.float32(0.0)}, epoch=1)
+    assert os.path.basename(p0) == "0.state"
+    back = load_state(ck.latest())
+    assert float(back["b"]) == 0.0
+    # rotation: epoch 3 overwrites slot 0
+    ck.save(state, epoch=3)
+    back0 = load_state(os.path.join(logger.states_dir, "0.state"))
+    np.testing.assert_array_equal(back0["w"], np.arange(5.0))
+
+    latest_run = RunLogger.find_latest_run(str(tmp_path / "runs"), cfg)
+    assert latest_run is not None
+    assert RunLogger.find_latest_state(latest_run) is not None
+
+
+def test_config_json_roundtrip(tmp_path):
+    cfg = Config(hidden_size=64, order="3rd", loss_cont=123.0)
+    text = cfg.to_json()
+    cfg2 = Config.from_json(text)
+    assert cfg2 == cfg
