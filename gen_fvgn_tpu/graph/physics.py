@@ -53,6 +53,23 @@ def velocity_profile(pos: np.ndarray, mean_u: float, aoa: float,
     return uv, p
 
 
+def pressure_point_source(pos, center, source_frequency, source_strength,
+                          dt, time_index):
+    """Gaussian point pressure source at the domain center for the wave
+    equation (parity: Set_BC.py `generate_pressure_source` :68-113).
+
+    pos [N,2], center [2]; returns [N,1]. Works in numpy or jax.numpy —
+    time_index must be >= 1.
+    """
+    import jax.numpy as jnp
+    xp = jnp if not isinstance(pos, np.ndarray) else np
+    rel = pos - center[None, :]
+    magnitude = xp.exp(-(rel[:, 0:1] ** 2 + rel[:, 1:2] ** 2)
+                       * source_strength * 1000.0)
+    current_time = dt * time_index
+    return xp.sin(source_frequency * np.pi * current_time) * magnitude
+
+
 def theta_vector(theta_bak: dict, ts: ThetaSample) -> Dict[str, np.ndarray]:
     """Assemble the 9-dim θ_PDE = [unsteady, continuity, convection, grad_p/ρ,
     diffusion, source/U, U_in_x, U_in_y, Re], plus dt_graph and uvp_dim.

@@ -1,0 +1,60 @@
+"""Main data-free training entry point (parity: src/pre_train_Adam.py).
+
+Usage:
+    python scripts/pre_train.py --dataset-dir <dir-with-case-subdirs> \
+        [--batch-size 8] [--epochs 210000] [--net TransFVGN_v2] ...
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dataset-dir", required=True)
+    ap.add_argument("--log-dir", default="runs")
+    ap.add_argument("--net", default="TransFVGN_v2",
+                    choices=["FVGN", "TransFVGN_v1", "TransFVGN_v2"])
+    ap.add_argument("--epochs", type=int, default=210_000)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--dataset-size", type=int, default=100)
+    ap.add_argument("--lr", type=float, default=5e-5)
+    ap.add_argument("--order", default="2nd",
+                    choices=["1st", "2nd", "3rd", "4th"])
+    ap.add_argument("--integrator", default="imex",
+                    choices=["explicit", "implicit", "imex"])
+    ap.add_argument("--conserved-form", type=int, default=1)
+    ap.add_argument("--max-inner-steps", type=int, default=20)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--dp-devices", type=int, default=1)
+    ap.add_argument("--mxu-dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
+    ap.add_argument("--resume", default=None, help="path to a .state file")
+    args = ap.parse_args(argv)
+
+    from gen_fvgn_tpu.config import Config
+    from gen_fvgn_tpu.training.loop import train
+
+    cfg = Config(
+        net=args.net, n_epochs=args.epochs, batch_size=args.batch_size,
+        dataset_size=args.dataset_size, lr=args.lr, order=args.order,
+        integrator=args.integrator, conserved_form=bool(args.conserved_form),
+        max_inner_steps=args.max_inner_steps, dataset_dir=args.dataset_dir,
+        dp_devices=args.dp_devices, mxu_dtype=args.mxu_dtype)
+
+    case_dirs = sorted(
+        {os.path.dirname(os.path.join(sub, f))
+         for sub, _, files in os.walk(args.dataset_dir)
+         for f in files if f == "BC.json"})
+    if not case_dirs:
+        raise SystemExit(f"no case dirs with BC.json under {args.dataset_dir}")
+
+    train(cfg, case_dirs=case_dirs, log_base_dir=args.log_dir,
+          seed=args.seed, resume_from=args.resume)
+
+
+if __name__ == "__main__":
+    main()

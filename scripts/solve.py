@@ -1,0 +1,79 @@
+"""Inference entry point: rollout / Adam instance optimization / L-BFGS
+(parity: src/solve_without_grad_GPU.py, solve_with_grad_GPU.py,
+solve_with_grad_GPU_LBFGS.py).
+
+Usage:
+    python scripts/solve.py --case <case_dir> --checkpoint <state> \
+        --mode {rollout,adam,lbfgs} --steps 200
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--case", required=True, help="case dir with BC.json")
+    ap.add_argument("--checkpoint", default=None, help=".state file")
+    ap.add_argument("--mode", default="rollout",
+                    choices=["rollout", "adam", "lbfgs"])
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--inner-steps", type=int, default=20)
+    ap.add_argument("--out-dir", default="solve_out")
+    ap.add_argument("--order", default="2nd")
+    ap.add_argument("--net", default="TransFVGN_v2")
+    args = ap.parse_args(argv)
+
+    from gen_fvgn_tpu.config import Config
+    from gen_fvgn_tpu.io.checkpoint import load_state
+    from gen_fvgn_tpu.io.tecplot import write_tecplot_zone
+    from gen_fvgn_tpu.solve.instance_opt import solve_adam, solve_lbfgs
+    from gen_fvgn_tpu.solve.rollout import rollout
+    from gen_fvgn_tpu.training.pool import EnvPool
+    from gen_fvgn_tpu.training.train import init_train_state
+
+    cfg = Config(batch_size=1, dataset_size=1, order=args.order, net=args.net)
+    pool = EnvPool([args.case], cfg, seed=0)
+    batch = pool.gather_batch(np.asarray([0]))
+    state, apply_fn = init_train_state(cfg, batch, seed=0)
+    if args.checkpoint:
+        state = load_state(args.checkpoint, like=state)
+
+    mesh = pool.cases[0]["mesh"]
+    n_nodes = mesh["node|pos"].shape[0]
+    n_cells = mesh["cell|centroid"].shape[0]
+
+    def export(t, uvp_node, uvp_cell, rec):
+        write_tecplot_zone(
+            os.path.join(args.out_dir, f"step_{t:05d}.dat"),
+            mesh["node|pos"], mesh["cells_node"], mesh["cells_index"],
+            {"U": uvp_node[0, :n_nodes, 0], "V": uvp_node[0, :n_nodes, 1],
+             "P": uvp_node[0, :n_nodes, 2]},
+            solution_time=float(t))
+
+    if args.mode == "rollout":
+        hist = rollout(cfg, state.params, state.norm_state, apply_fn, batch,
+                       n_steps=args.steps, export_fn=export)
+        print(f"rollout finished: final cont residual "
+              f"{hist[-1]['loss_cont'][0]:.3e}")
+    elif args.mode == "adam":
+        _, hist = solve_adam(cfg, state.params, state.norm_state, apply_fn,
+                             batch, n_time_steps=args.steps,
+                             inner_steps=args.inner_steps, export_fn=export)
+        print(f"adam solve finished: last inner loss "
+              f"{hist[-1]['inner_losses'][-1]:.5f}")
+    else:
+        _, hist = solve_lbfgs(cfg, state.params, state.norm_state, apply_fn,
+                              batch, n_time_steps=args.steps,
+                              max_iter=args.inner_steps, export_fn=export)
+        print(f"lbfgs solve finished: last inner loss "
+              f"{hist[-1]['inner_losses'][-1]:.5f}")
+
+
+if __name__ == "__main__":
+    main()
