@@ -38,7 +38,8 @@ def main():
                  n_epochs=1000, mxu_dtype="bfloat16")
 
     t0 = time.time()
-    pool = EnvPool([CASE], cfg, seed=0, pad_multiple=256)
+    pool = EnvPool([CASE], cfg, seed=0, pad_multiple=256,
+                   device_resident=True)
     batch = pool.gather_batch(np.arange(batch_size))
     load_s = time.time() - t0
 

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from gen_fvgn_tpu.graph.sample import MeshSample
 from gen_fvgn_tpu.ops import interp
 from gen_fvgn_tpu.ops.segment import safe_sqrt, segment_sum
-from gen_fvgn_tpu.ops.wlsq import node_based_wlsq
+from gen_fvgn_tpu.ops.wlsq import node_based_wlsq_precomputed
 from gen_fvgn_tpu.utils.types import NodeType
 
 
@@ -82,10 +82,9 @@ def integrate_residuals(
 
     # one 7-channel WLSQ call: [uvp_new(3), uv_hat(2), uv_old(2)]
     collection = jnp.concatenate([uvp_new, uv_hat, uv_old], axis=-1)  # [Np,7]
-    nabla = node_based_wlsq(
-        collection, sample.stencil, sample.wlsq_A, sample.wlsq_B, order,
-        colscale=sample.wlsq_scale,
-        stencil_mask=sample.stencil_mask, node_mask=sample.node_mask)
+    nabla = node_based_wlsq_precomputed(
+        collection, sample.stencil, sample.wlsq_S, sample.wlsq_B, order,
+        colscale=sample.wlsq_scale, stencil_mask=sample.stencil_mask)
     grad_phi = nabla[:, :, 0:2]                                       # [Np,7,2]
     hessian_phi = None  # disabled in the reference live path (FVscheme.py:668)
 

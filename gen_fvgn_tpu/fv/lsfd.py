@@ -21,7 +21,7 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 
 from gen_fvgn_tpu.graph.sample import MeshSample
-from gen_fvgn_tpu.ops.wlsq import node_based_wlsq
+from gen_fvgn_tpu.ops.wlsq import node_based_wlsq_precomputed
 from gen_fvgn_tpu.utils.types import NodeType
 
 
@@ -38,10 +38,10 @@ def lsfd_residual(
         raise ValueError("LSFD needs order >= 2nd (Hessian terms)")
 
     fields = jnp.concatenate([uvp_new[:, 2:3], uv_hat], axis=-1)  # [p, u, v]
-    nabla = node_based_wlsq(
-        fields, sample.stencil, sample.wlsq_A, sample.wlsq_B, order,
-        colscale=sample.wlsq_scale, stencil_mask=sample.stencil_mask,
-        node_mask=sample.node_mask)                   # [Np, 3, k]
+    nabla = node_based_wlsq_precomputed(
+        fields, sample.stencil, sample.wlsq_S, sample.wlsq_B, order,
+        colscale=sample.wlsq_scale,
+        stencil_mask=sample.stencil_mask)             # [Np, 3, k]
 
     p_x, p_y = nabla[:, 0, 0:1], nabla[:, 0, 1:2]
     u_x, u_y = nabla[:, 1, 0:1], nabla[:, 1, 1:2]

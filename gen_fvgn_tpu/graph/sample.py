@@ -89,7 +89,7 @@ class MeshSample:
     # WLSQ stencil + precomputed moments
     stencil: jnp.ndarray      # [2, Es] i32 (one-way)
     stencil_mask: jnp.ndarray # [Es] bool
-    wlsq_A: jnp.ndarray       # [Np, k, k] f32
+    wlsq_S: jnp.ndarray       # [Np, k, k] f32 precomputed solve matrix
     wlsq_B: jnp.ndarray       # [Es, k] f32 (one-way rows, unscaled)
     wlsq_scale: jnp.ndarray   # [Np, k] f32 local column scaling
     # per-graph physics
@@ -130,7 +130,7 @@ def pad_mesh_to_sample(mesh: Dict[str, np.ndarray], sizes: PadSizes,
     device placement happens when the batch is stacked/sharded).
 
     Expects, beyond the compile_mesh outputs: "stencil" [2, Es],
-    "wlsq_A" [N,k,k], "wlsq_B" [Es,k], "uvp" [N,3], "target|uvp" [N,2],
+    "wlsq_S" [N,k,k], "wlsq_B" [Es,k], "uvp" [N,3], "target|uvp" [N,2],
     "theta_PDE" [9], "sigma" [3], "uvp_dim" [3], "dt_graph" scalar.
     """
     f32, i32 = np.float32, np.int32
@@ -161,7 +161,7 @@ def pad_mesh_to_sample(mesh: Dict[str, np.ndarray], sizes: PadSizes,
         slot_unv=_pad(mesh["unit_norm_v"].astype(f32), sizes.n_slots),
         stencil=_pad(mesh["stencil"].astype(i32), sizes.n_stencil, axis=1),
         stencil_mask=_mask(es, sizes.n_stencil),
-        wlsq_A=_pad(mesh["wlsq_A"].astype(f32), sizes.n_nodes),
+        wlsq_S=_pad(mesh["wlsq_S"].astype(f32), sizes.n_nodes),
         wlsq_B=_pad(mesh["wlsq_B"].astype(f32), sizes.n_stencil),
         wlsq_scale=_pad(mesh["wlsq_scale"].astype(f32), sizes.n_nodes, fill=1),
         theta=mesh["theta_PDE"].reshape(-1).astype(f32),

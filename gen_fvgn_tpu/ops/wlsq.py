@@ -26,6 +26,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from gen_fvgn_tpu.ops.segment import segment_sum
 
@@ -146,6 +147,74 @@ def wlsq_moments(
     return A, wB, colscale
 
 
+def wlsq_solve_matrix(A: np.ndarray, colscale: np.ndarray,
+                      node_mask: Optional[np.ndarray] = None) -> np.ndarray:
+    """Fold the per-node WLSQ solve into ONE static matrix (host, float64).
+
+    The normal matrix A is geometry-only, so the whole conditioning +
+    inversion chain — row normalization (FVgrad.py:335-337), ridge, LU — can
+    be precomputed per mesh:
+
+        S = diag(colscale) · (A/rownorm + λI)⁻¹ · diag(1/rownorm)
+
+    and the runtime solve becomes `nabla = S @ B_raw`, a batched [k,k]@[k,C]
+    einsum on the MXU instead of a batched LU (which XLA serializes on TPU —
+    the single hottest op in the naive port). Computed in float64 on host, so
+    it is also MORE accurate than the reference's f32 on-device solve.
+    """
+    import numpy as onp
+    A = onp.asarray(A, dtype=onp.float64)
+    colscale = onp.asarray(colscale, dtype=onp.float64)
+    k = A.shape[-1]
+    rn = onp.linalg.norm(A, axis=2, keepdims=True)
+    A_n = A / (rn + 1e-8) + 1e-6 * onp.eye(k)[None]
+    if node_mask is not None:
+        m = onp.asarray(node_mask, bool)
+        A_n = onp.where(m[:, None, None], A_n, onp.eye(k)[None])
+    S = onp.linalg.inv(A_n) / (rn.transpose(0, 2, 1) + 1e-8)
+    S = colscale[:, :, None] * S
+    if node_mask is not None:
+        S = S * onp.asarray(node_mask, onp.float64)[:, None, None]
+    return S.astype(onp.float32)
+
+
+def accumulate_B(phi: jnp.ndarray, stencil: jnp.ndarray,
+                 single_B: jnp.ndarray, order: str,
+                 colscale: Optional[jnp.ndarray],
+                 stencil_mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Two-direction weighted Δφ accumulation → B [N, k, C]."""
+    s, r = stencil[0], stencil[1]
+    n_nodes = phi.shape[0]
+    k = single_B.shape[1]
+    if colscale is None:
+        colscale = jnp.ones((n_nodes, k), dtype=phi.dtype)
+    dphi = phi[s] - phi[r]                               # [Es, C]
+    signs = odd_sign_vector(order)
+    row_fwd = single_B * colscale[r]
+    row_rev = (single_B * signs) * colscale[s]
+    contrib_fwd = row_fwd[:, :, None] * dphi[:, None, :]             # [Es,k,C]
+    contrib_rev = row_rev[:, :, None] * (-dphi)[:, None, :]
+    return segment_sum(contrib_fwd, r, n_nodes, stencil_mask) + \
+        segment_sum(contrib_rev, s, n_nodes, stencil_mask)           # [N,k,C]
+
+
+def node_based_wlsq_precomputed(
+    phi: jnp.ndarray,            # [N, C]
+    stencil: jnp.ndarray,        # [2, Es]
+    solve_matrix: jnp.ndarray,   # [N, k, k] from wlsq_solve_matrix
+    single_B: jnp.ndarray,       # [Es, k]
+    order: str,
+    colscale: jnp.ndarray,       # [N, k]
+    stencil_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Runtime WLSQ with the static solve folded into a batched matmul.
+    Mathematically identical to node_based_wlsq (inverse vs LU round-off)."""
+    B = accumulate_B(phi, stencil, single_B, order, colscale, stencil_mask)
+    nabla = jnp.einsum("nkl,nlc->nkc", solve_matrix, B,
+                       preferred_element_type=jnp.float32)
+    return jnp.swapaxes(nabla, 1, 2)                     # [N, C, k]
+
+
 def node_based_wlsq(
     phi: jnp.ndarray,            # [N, C]
     stencil: jnp.ndarray,        # [2, Es]
@@ -164,23 +233,11 @@ def node_based_wlsq(
     rt_cond=True also returns the per-node condition number of the
     row-normalized A (parity: FVgrad.py:364-365).
     """
-    s, r = stencil[0], stencil[1]
     n_nodes, k = phi.shape[0], single_B.shape[1]
     if colscale is None:
         colscale = jnp.ones((n_nodes, k), dtype=phi.dtype)
 
-    dphi = phi[s] - phi[r]                               # [Es, C]
-    signs = odd_sign_vector(order)
-
-    # direction (s→r): rows single_B·colscale_r, accumulate at r with
-    # Δφ = φ_s − φ_r; direction (r→s): rows single_B·signs·colscale_s,
-    # accumulate at s with Δφ negated.
-    row_fwd = single_B * colscale[r]
-    row_rev = (single_B * signs) * colscale[s]
-    contrib_fwd = row_fwd[:, :, None] * dphi[:, None, :]             # [Es,k,C]
-    contrib_rev = row_rev[:, :, None] * (-dphi)[:, None, :]
-    B = segment_sum(contrib_fwd, r, n_nodes, stencil_mask) + \
-        segment_sum(contrib_rev, s, n_nodes, stencil_mask)           # [N,k,C]
+    B = accumulate_B(phi, stencil, single_B, order, colscale, stencil_mask)
 
     # Row normalization for f32 conditioning (FVgrad.py:335-337).
     row_norms = jnp.linalg.norm(A, axis=2, keepdims=True)            # [N,k,1]

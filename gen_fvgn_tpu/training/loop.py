@@ -45,7 +45,7 @@ def train(
     n_epochs = n_epochs if n_epochs is not None else cfg.n_epochs
 
     pool = EnvPool(case_dirs, cfg, seed=seed, pad_multiple=pad_multiple,
-                   cases=cases)
+                   cases=cases, device_resident=(cfg.dp_devices <= 1))
     cfg = cfg.replace(dataset_size=len(pool))
 
     first = pool.gather_batch(np.arange(cfg.batch_size))
@@ -84,7 +84,7 @@ def train(
                 state, metrics, uvp_new = step(state, batch)
                 last_metrics = metrics
                 if payback:
-                    pool.payback(idxs, np.asarray(uvp_new))
+                    pool.payback(idxs, uvp_new)
 
         # BC curriculum: re-roll the oldest environments after payback
         for _ in range(reset_pending):

@@ -57,7 +57,8 @@ def prepare_mesh_statics(mesh: Dict[str, np.ndarray], order: str,
         _MOMENTS_CACHE[order] = _jitted_moments(order)
     A, wB, colscale = _MOMENTS_CACHE[order](
         mesh["node|pos"].astype(np.float32), stencil.astype(np.int32))
-    mesh["wlsq_A"] = np.asarray(A, dtype=np.float32)
+    from gen_fvgn_tpu.ops.wlsq import wlsq_solve_matrix
+    mesh["wlsq_S"] = wlsq_solve_matrix(np.asarray(A), np.asarray(colscale))
     mesh["wlsq_B"] = np.asarray(wB, dtype=np.float32)
     mesh["wlsq_scale"] = np.asarray(colscale, dtype=np.float32)
     return mesh
@@ -94,12 +95,21 @@ class Environment:
 
 
 class EnvPool:
-    """Pool of padded environments with payback / reset-BC streaming."""
+    """Pool of padded environments with payback / reset-BC streaming.
+
+    With device_resident=True (the default) the WHOLE pool lives in HBM as
+    one stacked [M, ...] MeshSample; batch gather and payback are jitted
+    device ops and the training loop never ships mesh arrays over the host
+    link except on a BC re-roll (and then only the few value arrays the
+    re-roll changes). This is the single biggest performance lever vs the
+    naive port: feeding numpy batches re-uploads O(50 MB) per step.
+    """
 
     def __init__(self, case_dirs: Sequence[str], cfg: Config,
                  seed: int = 0, pad_multiple: int = 128,
                  dataset_size: Optional[int] = None,
-                 cases: Optional[List[Dict]] = None):
+                 cases: Optional[List[Dict]] = None,
+                 device_resident: bool = False):
         self.cfg = cfg
         self.rng = np.random.default_rng(seed)
         if cases is not None:
@@ -122,6 +132,37 @@ class EnvPool:
             self.envs.append(self._make_env(self.cases[i % len(self.cases)]))
             i += 1
 
+        self.device_resident = device_resident
+        self._device_data = None
+        if device_resident:
+            self._init_device_pool()
+
+    # ---- device-resident pool ----
+
+    def _init_device_pool(self) -> None:
+        import jax
+        import jax.numpy as jnp
+        self._device_data = jax.device_put(
+            stack_samples([e.sample for e in self.envs]))
+
+        self._jit_gather = jax.jit(
+            lambda data, idxs: jax.tree_util.tree_map(
+                lambda x: jnp.take(x, idxs, axis=0), data))
+
+        def _payback(data, idxs, uvp_new):
+            return data.replace(uvp=data.uvp.at[idxs].set(uvp_new))
+        self._jit_payback = jax.jit(_payback, donate_argnums=(0,))
+
+        # BC re-roll updates only the value arrays (geometry is static)
+        reroll_fields = ("uvp", "target_uv", "theta", "sigma", "uvp_dim", "dt")
+
+        def _reroll(data, idx, new_vals):
+            updates = {f: getattr(data, f).at[idx].set(new_vals[f])
+                       for f in reroll_fields}
+            return data.replace(**updates)
+        self._jit_reroll = jax.jit(_reroll, donate_argnums=(0,))
+        self._reroll_fields = reroll_fields
+
     # ---- environment construction / BC re-roll ----
 
     def _make_env(self, case: Dict) -> Environment:
@@ -142,9 +183,21 @@ class EnvPool:
         return Environment(case=case, sample=sample, theta_sample=ts)
 
     def reset_env(self) -> None:
-        """Pop the oldest environment, re-roll its boundary condition, append."""
-        old = self.envs.pop(0)
-        self.envs.append(self._make_env(old.case))
+        """Re-roll the OLDEST environment's boundary condition in place
+        (parity: Data_Pool.reset_env pops index 0 and appends the re-rolled
+        mesh, Graph_loader.py:154-229; here slots are stable and age is
+        tracked separately so the device pool never reshapes)."""
+        if not hasattr(self, "_age_order") or len(self._age_order) != len(self.envs):
+            self._age_order = list(range(len(self.envs)))
+        pos = self._age_order.pop(0)
+        new_env = self._make_env(self.envs[pos].case)
+        self.envs[pos] = new_env
+        self._age_order.append(pos)
+        if self._device_data is not None:
+            new_vals = {f: np.asarray(getattr(new_env.sample, f))
+                        for f in self._reroll_fields}
+            self._device_data = self._jit_reroll(self._device_data,
+                                                 np.int32(pos), new_vals)
 
     # ---- batching ----
 
@@ -160,13 +213,31 @@ class EnvPool:
         return [perm[i * bs:(i + 1) * bs] for i in range(n_batches)]
 
     def gather_batch(self, idxs: np.ndarray) -> MeshSample:
+        if self._device_data is not None:
+            import jax.numpy as jnp
+            return self._jit_gather(self._device_data,
+                                    jnp.asarray(idxs, jnp.int32))
         return stack_samples([self.envs[int(i)].sample for i in idxs])
 
-    def payback(self, idxs: np.ndarray, uvp_new: np.ndarray) -> None:
+    def payback(self, idxs: np.ndarray, uvp_new) -> None:
         """Write the detached new state back into the pooled environments
-        (parity: Data_Pool.payback, Graph_loader.py:370-383)."""
+        (parity: Data_Pool.payback, Graph_loader.py:370-383). With a
+        device-resident pool, `uvp_new` stays a device array — no host copy."""
+        if self._device_data is not None:
+            import jax.numpy as jnp
+            self._device_data = self._jit_payback(
+                self._device_data, jnp.asarray(idxs, jnp.int32), uvp_new)
+            for i in idxs:
+                self.envs[int(i)].age += 1
+            return
         for row, i in enumerate(idxs):
             env = self.envs[int(i)]
             env.sample = env.sample.replace(
                 uvp=np.asarray(uvp_new[row], dtype=np.float32))
             env.age += 1
+
+    def host_uvp(self, idx: int) -> np.ndarray:
+        """Fetch one environment's current state back to host (for export)."""
+        if self._device_data is not None:
+            return np.asarray(self._device_data.uvp[idx])
+        return np.asarray(self.envs[idx].sample.uvp)
