@@ -25,7 +25,8 @@ def hyperparam_tag(cfg: Config) -> str:
 
 class RunLogger:
     def __init__(self, base_dir: str, cfg: Config, copy_code: bool = True,
-                 seed: Optional[int] = None, run_name: Optional[str] = None):
+                 seed: Optional[int] = None, run_name: Optional[str] = None,
+                 use_tensorboard: bool = False):
         self.cfg = cfg
         stamp = run_name or datetime.datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
         self.run_dir = os.path.join(base_dir, hyperparam_tag(cfg), stamp)
@@ -33,6 +34,14 @@ class RunLogger:
         self.results_dir = os.path.join(self.run_dir, "traing_results")
         os.makedirs(self.states_dir, exist_ok=True)
         os.makedirs(self.results_dir, exist_ok=True)
+
+        self._tb = None
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(os.path.join(self.run_dir, "tb"))
+            except Exception:
+                self._tb = None
 
         with open(os.path.join(self.run_dir, "config.json"), "wt") as f:
             f.write(cfg.to_json())
@@ -67,6 +76,9 @@ class RunLogger:
         row = [float(step)] + [float(scalars[k]) for k in sorted(scalars)]
         with open(self._loss_path, "at") as f:
             f.write(",".join(f"{v:.9e}" for v in row) + "\n")
+        if self._tb is not None:
+            for key, value in scalars.items():
+                self._tb.add_scalar(key, float(value), step)
 
     # ---- checkpoint pathing / discovery ----
 

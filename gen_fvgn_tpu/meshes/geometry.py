@@ -177,7 +177,17 @@ def build_stencil(face_node: np.ndarray, face_node_x: np.ndarray,
     WITHOUT deduplicating between the two (Load_mesh.py:474-486), so pairs
     present in both contribute twice to the WLSQ moments (doubled weight).
     We reproduce that exactly — it is part of the trained numerics.
+
+    Uses the native C++ BFS builder when available (gfvgn_host), which
+    computes the union of hops 1..k in one pass.
     """
+    try:
+        from gen_fvgn_tpu.native import lib as native
+        if native.available():
+            extra = native.khop_pairs(face_node, n_nodes, k_hop)
+            return np.concatenate([face_node_x, extra], axis=1)
+    except Exception:
+        pass
     twoway = np.concatenate([face_node, face_node[::-1]], axis=1)
     hops = [k_hop_edges(twoway, k, n_nodes) for k in range(1, k_hop + 1)]
     extra = np.concatenate(hops, axis=1)
