@@ -25,6 +25,8 @@ CASE = "/root/reference/mesh_example/lid_driven_cavity/lid_driven_cavity_101x101
 
 
 def main():
+    from gen_fvgn_tpu.utils.jax_setup import setup_cache
+    setup_cache()
     from gen_fvgn_tpu.config import Config
     from gen_fvgn_tpu.training.pool import EnvPool
     from gen_fvgn_tpu.training.train import init_train_state, make_train_step

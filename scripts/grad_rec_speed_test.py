@@ -17,6 +17,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from gen_fvgn_tpu.utils.jax_setup import setup_cache
+    setup_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--case", default="/root/reference/mesh_example/"
                     "lid_driven_cavity/lid_driven_cavity_101x101-Re=100")

@@ -12,6 +12,8 @@ import numpy as np
 
 
 def main():
+    from gen_fvgn_tpu.utils.jax_setup import setup_cache
+    setup_cache()
     import jax
     import jax.numpy as jnp
 

@@ -13,6 +13,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):
+    from gen_fvgn_tpu.utils.jax_setup import setup_cache
+    setup_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--dataset-dir", required=True)
     ap.add_argument("--log-dir", default="runs")

@@ -22,6 +22,8 @@ def timeit(f, *args, n=10):
 
 
 def main():
+    from gen_fvgn_tpu.utils.jax_setup import setup_cache
+    setup_cache()
     import jax
     import jax.numpy as jnp
     from functools import partial

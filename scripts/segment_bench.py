@@ -25,6 +25,8 @@ def timeit(f, *args, n=30):
 
 
 def main():
+    from gen_fvgn_tpu.utils.jax_setup import setup_cache
+    setup_cache()
     import jax
     import jax.numpy as jnp
 

@@ -17,6 +17,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from gen_fvgn_tpu.utils.jax_setup import setup_cache
+    setup_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--case", required=True, help="case dir with BC.json")
     ap.add_argument("--checkpoint", default=None, help=".state file")
