@@ -1,0 +1,63 @@
+"""GraphNet blocks on the block-sparse MXU engine.
+
+Same math and SAME flax parameter trees as models/gn.py (the segment-engine
+reference implementation) — the two engines are interchangeable per
+checkpoint; equivalence is covered by tests/test_block_engine.py. All sparse
+transfers are precomputed LinOp matmuls (ops/blocksparse.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gen_fvgn_tpu.graph.packs import StaticPack
+from gen_fvgn_tpu.models.mlp import Mlp
+from gen_fvgn_tpu.ops.blocksparse import apply_linop
+
+
+class EdgeBlockB(nn.Module):
+    hidden_size: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, node_x, edge_attr, static: StaticPack):
+        ops = static.ops
+        agg = apply_linop(ops.adj, node_x)               # neighbour sum
+        agg_s = apply_linop(ops.gather_s, agg)
+        agg_r = apply_linop(ops.gather_r, agg)
+        collected = jnp.concatenate([agg_s, agg_r, edge_attr], axis=-1)
+        return Mlp(self.hidden_size, self.hidden_size, dtype=self.dtype,
+                   name="edge_mlp")(collected)
+
+
+class NodeBlockB(nn.Module):
+    hidden_size: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, node_x, edge_attr, static: StaticPack):
+        ops = static.ops
+        half_a, half_b = jnp.split(edge_attr, 2, axis=-1)
+        agg = apply_linop(ops.scat_r, half_a) + \
+            apply_linop(ops.scat_s, half_b)              # [N, h/2]
+        nbr_sum = apply_linop(ops.adj, agg)
+        nbr_avg = nbr_sum / jnp.maximum(ops.deg, 1.0)
+        return Mlp(self.hidden_size, self.hidden_size, dtype=self.dtype,
+                   name="node_mlp")(
+            jnp.concatenate([nbr_avg, node_x], axis=-1))
+
+
+class GnBlockB(nn.Module):
+    hidden_size: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, node_x, edge_attr, static: StaticPack):
+        edge_new = EdgeBlockB(self.hidden_size, self.dtype,
+                              name="edge_block")(node_x, edge_attr, static)
+        node_new = NodeBlockB(self.hidden_size, self.dtype,
+                              name="node_block")(node_x, edge_new, static)
+        return node_x + node_new, edge_attr + edge_new

@@ -1,0 +1,171 @@
+"""Block-sparse dense-tile operators — the MXU message-passing substrate.
+
+Every graph operation in this framework (neighbor aggregation, edge↔node
+incidence transfers, WLSQ gradient reconstruction, FV interpolation and flux
+accumulation) is a STATIC sparse linear operator fixed by the mesh. XLA's
+scatter/gather lowering serializes such ops on TPU; instead we decompose each
+operator into dense [To, Ti] tiles along its (RCM-narrowed) band and apply it
+as a batched matmul over tile-granularity gathers:
+
+    out_tile[i] = Σ_k blocks[i, k] @ x_tile[in_tile[i, k]]
+
+With reverse-Cuthill-McKee node ordering (and induced face/cell orderings)
+the band is a few tiles wide, so K stays 2-6 and the FLOP inflation over the
+nnz is paid happily on the MXU — dense matmul throughput beats the scatter
+path by 2-3 orders of magnitude.
+
+Gradients flow through a precomputed TRANSPOSE operator via custom_vjp, so
+the backward pass is the same MXU-matmul structure (never a scatter).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class BlockOp:
+    """One direction of a static sparse operator [n_out, n_in]."""
+    blocks: jnp.ndarray    # [nTo, K, To, Ti] f32
+    in_tile: jnp.ndarray   # [nTo, K] i32 — operand tile per slot (0-padded)
+
+    @property
+    def tile_out(self) -> int:
+        return self.blocks.shape[2]
+
+    @property
+    def tile_in(self) -> int:
+        return self.blocks.shape[3]
+
+    @property
+    def n_out(self) -> int:
+        return self.blocks.shape[0] * self.blocks.shape[2]
+
+
+@struct.dataclass
+class LinOp:
+    """A sparse operator with its transpose (for custom-VJP matmul backward)."""
+    fwd: BlockOp
+    bwd: BlockOp
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def build_block_op(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
+                   n_out: int, n_in: int, tile_out: int = 256,
+                   tile_in: int = 256) -> BlockOp:
+    """Assemble dense tiles from COO triplets (duplicates accumulate).
+
+    n_out / n_in are the PADDED sizes (must be multiples of the tiles)."""
+    assert n_out % tile_out == 0 and n_in % tile_in == 0
+    n_to, n_ti = n_out // tile_out, n_in // tile_in
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    vals = np.asarray(vals, np.float64)
+
+    brow, bcol = rows // tile_out, cols // tile_in
+    pair_key = brow * n_ti + bcol
+    uniq, inverse = np.unique(pair_key, return_inverse=True)
+    n_blocks = uniq.shape[0]
+    ub, uc = uniq // n_ti, uniq % n_ti
+
+    dense = np.zeros((n_blocks, tile_out, tile_in), np.float64)
+    np.add.at(dense, (inverse, rows % tile_out, cols % tile_in), vals)
+
+    counts = np.bincount(ub, minlength=n_to)
+    k = max(int(counts.max()) if counts.size else 1, 1)
+    blocks = np.zeros((n_to, k, tile_out, tile_in), np.float32)
+    in_tile = np.zeros((n_to, k), np.int32)
+    slot = np.zeros(n_to, np.int64)
+    for b in range(n_blocks):
+        i = ub[b]
+        blocks[i, slot[i]] = dense[b]
+        in_tile[i, slot[i]] = uc[b]
+        slot[i] += 1
+    return BlockOp(blocks=jnp.asarray(blocks), in_tile=jnp.asarray(in_tile))
+
+
+def build_linop(rows, cols, vals, n_out: int, n_in: int,
+                tile_out: int = 256, tile_in: int = 256) -> LinOp:
+    return LinOp(
+        fwd=build_block_op(rows, cols, vals, n_out, n_in, tile_out, tile_in),
+        bwd=build_block_op(cols, rows, vals, n_in, n_out, tile_in, tile_out),
+    )
+
+
+def _apply_block_op(op: BlockOp, x: jnp.ndarray) -> jnp.ndarray:
+    """x [n_in, F] -> [n_out, F] (F may itself be a flattened feature pack)."""
+    n_ti = x.shape[0] // op.tile_in
+    xt = x.reshape(n_ti, op.tile_in, -1)
+    gathered = jnp.take(xt, op.in_tile, axis=0)          # [nTo, K, Ti, F]
+    out = jnp.einsum("nkab,nkbf->naf", op.blocks, gathered,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(op.n_out, x.shape[1])
+
+
+@jax.custom_vjp
+def apply_linop(op: LinOp, x: jnp.ndarray) -> jnp.ndarray:
+    """out = A @ x with matmul-only forward AND backward."""
+    return _apply_block_op(op.fwd, x)
+
+
+def _apply_fwd(op, x):
+    return _apply_block_op(op.fwd, x), op
+
+
+def _apply_bwd(op, g):
+    return None, _apply_block_op(op.bwd, g)
+
+
+apply_linop.defvjp(_apply_fwd, _apply_bwd)
+
+
+def apply_linop_multi(op: LinOp, x: jnp.ndarray) -> jnp.ndarray:
+    """Apply to [n_in, ...trailing] by flattening trailing dims."""
+    trailing = x.shape[1:]
+    flat = x.reshape(x.shape[0], -1)
+    out = apply_linop(op, flat)
+    return out.reshape((op.fwd.n_out,) + trailing)
+
+
+# ---------- host-side COO builders for the standard mesh operators ----------
+
+
+def adjacency_coo(face_node: np.ndarray, n_nodes: int):
+    """out[r] += x[s]; out[s] += x[r] (two-way neighbour sum)."""
+    s, r = face_node[0], face_node[1]
+    rows = np.concatenate([r, s])
+    cols = np.concatenate([s, r])
+    vals = np.ones(rows.shape[0], np.float32)
+    return rows, cols, vals
+
+
+def gather_coo(idx: np.ndarray):
+    """out[e] = x[idx[e]] — one-hot rows."""
+    e = np.arange(idx.shape[0])
+    return e, idx, np.ones(idx.shape[0], np.float32)
+
+
+def signed_diff_coo(face_node: np.ndarray):
+    """out[e] = x[s_e] − x[r_e] (relative edge features)."""
+    s, r = face_node[0], face_node[1]
+    e = np.arange(s.shape[0])
+    rows = np.concatenate([e, e])
+    cols = np.concatenate([s, r])
+    vals = np.concatenate([np.ones_like(s, np.float32),
+                           -np.ones_like(r, np.float32)])
+    return rows, cols, vals
+
+
+def incidence_coo(targets: np.ndarray, vals: Optional[np.ndarray] = None):
+    """out[targets[e]] += vals[e] * x[e] (edge/slot → node/cell scatter)."""
+    e = np.arange(targets.shape[0])
+    v = np.ones(targets.shape[0], np.float32) if vals is None else vals
+    return targets, e, v

@@ -64,6 +64,23 @@ def prepare_mesh_statics(mesh: Dict[str, np.ndarray], order: str,
     return mesh
 
 
+def ensure_rcm(mesh: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Re-derive a compiled mesh with RCM node ordering (block engine
+    requirement: banded operators). Idempotent-ish: re-running RCM on an
+    already-banded mesh is harmless."""
+    from gen_fvgn_tpu.graph.operators import rcm_reorder
+    raw = {
+        "node|pos": mesh["node|pos"],
+        "node|node_type": np.asarray(mesh["node|node_type"]).reshape(-1),
+        "node|surf_mask": np.asarray(
+            mesh.get("node|surf_mask",
+                     np.zeros(mesh["node|pos"].shape[0], bool))).reshape(-1),
+        "cells_node": mesh["cells_node"],
+        "cells_index": mesh["cells_index"],
+    }
+    return compile_mesh(rcm_reorder(raw))
+
+
 def load_case(case_dir: str, order: str = "2nd") -> Dict:
     """Load one case directory: .h5 if present, else parse + compile the
     COMSOL mesh in place. Returns {"mesh", "bc", "combos", "case_name"}."""
@@ -91,6 +108,7 @@ class Environment:
     case: Dict                       # shared per-case statics
     sample: MeshSample               # padded arrays (NumPy), mutable uvp
     theta_sample: ThetaSample
+    case_idx: int = 0
     age: int = 0
 
 
@@ -109,17 +127,32 @@ class EnvPool:
                  seed: int = 0, pad_multiple: int = 128,
                  dataset_size: Optional[int] = None,
                  cases: Optional[List[Dict]] = None,
-                 device_resident: bool = False):
+                 device_resident: bool = False,
+                 engine: str = "segment",
+                 tile: int = 256):
         self.cfg = cfg
+        self.engine = engine
+        self.tile = tile
         self.rng = np.random.default_rng(seed)
+        if engine == "block":
+            pad_multiple = max(pad_multiple, tile)
         if cases is not None:
             self.cases = [dict(c) for c in cases]
             for c in self.cases:
+                mesh = dict(c["mesh"])
+                if engine == "block":
+                    mesh = ensure_rcm(mesh)
                 c["mesh"] = prepare_mesh_statics(
-                    dict(c["mesh"]), cfg.order,
+                    mesh, cfg.order,
                     k_hop=int(c["bc"].get("stencil|khops", 2)))
         else:
             self.cases = [load_case(d, cfg.order) for d in case_dirs]
+            if engine == "block":
+                for c in self.cases:
+                    mesh = ensure_rcm(c["mesh"])
+                    c["mesh"] = prepare_mesh_statics(
+                        mesh, cfg.order,
+                        k_hop=int(c["bc"].get("stencil|khops", 2)))
 
         size = dataset_size if dataset_size is not None else cfg.dataset_size
         size = max(size, cfg.batch_size)
@@ -129,13 +162,93 @@ class EnvPool:
         self.envs: List[Environment] = []
         i = 0
         while len(self.envs) < size:
-            self.envs.append(self._make_env(self.cases[i % len(self.cases)]))
+            ci = i % len(self.cases)
+            self.envs.append(self._make_env(self.cases[ci], ci))
             i += 1
 
         self.device_resident = device_resident
         self._device_data = None
         if device_resident:
             self._init_device_pool()
+
+        self.statics = None
+        self._dyn_pool = None
+        if engine == "block":
+            self._init_block_pool()
+
+    # ---- block engine: per-case StaticPacks + device dynamic pool ----
+
+    def _init_block_pool(self) -> None:
+        import jax
+        import jax.numpy as jnp
+        from gen_fvgn_tpu.graph.packs import (build_static_pack,
+                                              dynamic_from_sample)
+        self.statics = [
+            jax.device_put(build_static_pack(c["mesh"], self.cfg.order,
+                                             self.sizes, self.tile))
+            for c in self.cases]
+        dyns = [dynamic_from_sample(e.sample) for e in self.envs]
+        self._dyn_pool = jax.device_put(jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *dyns))
+
+        self._jit_dyn_gather = jax.jit(
+            lambda data, idxs: jax.tree_util.tree_map(
+                lambda x: jnp.take(x, idxs, axis=0), data))
+
+        def _payback(data, idxs, uvp_new):
+            return data.replace(uvp=data.uvp.at[idxs].set(uvp_new))
+        self._jit_dyn_payback = jax.jit(_payback, donate_argnums=(0,))
+
+        def _reroll(data, idx, new_vals):
+            updates = {f: getattr(data, f).at[idx].set(new_vals[f])
+                       for f in new_vals}
+            return data.replace(**updates)
+        self._jit_dyn_reroll = jax.jit(_reroll, donate_argnums=(0,))
+
+    def block_batches(self, step_seed: int):
+        """Per-case batches: list of (case_idx, env_index_array). Batches are
+        single-case so the shared StaticPack applies to the whole batch
+        (TPU adaptation — the reference mixes cases freely in a batch)."""
+        rng = np.random.default_rng(step_seed)
+        bs = self.cfg.batch_size
+        out = []
+        by_case: Dict[int, list] = {}
+        for i, env in enumerate(self.envs):
+            by_case.setdefault(env.case_idx, []).append(i)
+        for ci, idxs in by_case.items():
+            perm = rng.permutation(idxs)
+            for j in range(len(perm) // bs):
+                out.append((ci, perm[j * bs:(j + 1) * bs].astype(np.int32)))
+        rng.shuffle(out)
+        return out
+
+    def gather_block(self, idxs: np.ndarray):
+        import jax.numpy as jnp
+        return self._jit_dyn_gather(self._dyn_pool,
+                                    jnp.asarray(idxs, jnp.int32))
+
+    def payback_block(self, idxs: np.ndarray, uvp_new) -> None:
+        import jax.numpy as jnp
+        self._dyn_pool = self._jit_dyn_payback(
+            self._dyn_pool, jnp.asarray(idxs, jnp.int32), uvp_new)
+        for i in idxs:
+            self.envs[int(i)].age += 1
+
+    def reset_env_block(self) -> None:
+        """Oldest-env BC re-roll for the block pool (values only)."""
+        if not hasattr(self, "_age_order") or len(self._age_order) != len(self.envs):
+            self._age_order = list(range(len(self.envs)))
+        pos = self._age_order.pop(0)
+        new_env = self._make_env(self.envs[pos].case, self.envs[pos].case_idx)
+        self.envs[pos] = new_env
+        self._age_order.append(pos)
+        from gen_fvgn_tpu.graph.packs import dynamic_from_sample
+        dyn = dynamic_from_sample(new_env.sample)
+        new_vals = {f: np.asarray(getattr(dyn, f))
+                    for f in ("uvp", "target_uv", "theta", "sigma",
+                              "uvp_dim", "dt")}
+        self._dyn_pool = self._jit_dyn_reroll(self._dyn_pool, np.int32(pos),
+                                              new_vals)
 
     # ---- device-resident pool ----
 
@@ -165,7 +278,7 @@ class EnvPool:
 
     # ---- environment construction / BC re-roll ----
 
-    def _make_env(self, case: Dict) -> Environment:
+    def _make_env(self, case: Dict, case_idx: int = 0) -> Environment:
         ts = case["combos"][self.rng.integers(len(case["combos"]))]
         mesh = case["mesh"]
         vals = theta_vector(case["bc"]["theta_PDE"], ts)
@@ -180,7 +293,8 @@ class EnvPool:
         prepared["target|uvp"] = target
         prepared["sigma"] = np.asarray(case["bc"]["sigma"], dtype=np.float32)
         sample = pad_mesh_to_sample(prepared, self.sizes, self.cfg.order)
-        return Environment(case=case, sample=sample, theta_sample=ts)
+        return Environment(case=case, sample=sample, theta_sample=ts,
+                           case_idx=case_idx)
 
     def reset_env(self) -> None:
         """Re-roll the OLDEST environment's boundary condition in place
@@ -190,7 +304,8 @@ class EnvPool:
         if not hasattr(self, "_age_order") or len(self._age_order) != len(self.envs):
             self._age_order = list(range(len(self.envs)))
         pos = self._age_order.pop(0)
-        new_env = self._make_env(self.envs[pos].case)
+        new_env = self._make_env(self.envs[pos].case,
+                                 self.envs[pos].case_idx)
         self.envs[pos] = new_env
         self._age_order.append(pos)
         if self._device_data is not None:

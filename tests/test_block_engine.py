@@ -1,0 +1,135 @@
+"""Block-sparse MXU engine vs the segment-op reference engine: identical
+math, same parameters, matching outputs."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gen_fvgn_tpu.config import Config
+from gen_fvgn_tpu.graph.operators import rcm_reorder
+from gen_fvgn_tpu.graph.packs import (DynamicPack, StaticPack,
+                                      build_static_pack, dynamic_from_sample)
+from gen_fvgn_tpu.graph.sample import PadSizes
+from gen_fvgn_tpu.meshes.geometry import compile_mesh
+from gen_fvgn_tpu.meshes.synthetic import cavity_quad_mesh, synthetic_case
+from gen_fvgn_tpu.ops.blocksparse import (apply_linop, build_linop,
+                                          gather_coo)
+from gen_fvgn_tpu.training.pool import EnvPool
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config(batch_size=2, dataset_size=2, mxu_dtype="float32",
+                 hidden_size=32, message_passing_num=1, slice_num=8,
+                 attn_heads=4)
+    raw = {k: v for k, v in cavity_quad_mesh(6).items()}
+    raw = rcm_reorder(raw)
+    mesh = compile_mesh(raw)
+    case = synthetic_case(mesh, continuity=1, convection=1, grad_p=1,
+                          mu=0.05, sigma=(1, 1, 1))
+    pool = EnvPool([], cfg, seed=0, pad_multiple=256, cases=[case])
+    batch = pool.gather_batch(np.asarray([0, 1]))
+    static = build_static_pack(pool.cases[0]["mesh"], cfg.order, pool.sizes,
+                               tile=256)
+    dyn = jax.tree_util.tree_map(jnp.asarray, dynamic_from_sample(batch))
+    return cfg, pool, batch, static, dyn
+
+
+def test_linop_matches_dense():
+    rng = np.random.default_rng(0)
+    rows = rng.integers(0, 512, size=900)
+    cols = rng.integers(0, 512, size=900)
+    vals = rng.normal(size=900).astype(np.float32)
+    op = build_linop(rows, cols, vals, 512, 512, 256, 256)
+    x = rng.normal(size=(512, 16)).astype(np.float32)
+    dense = np.zeros((512, 512), np.float32)
+    np.add.at(dense, (rows, cols), vals)
+    np.testing.assert_allclose(np.asarray(apply_linop(op, x)), dense @ x,
+                               rtol=1e-4, atol=1e-4)
+    # vjp = transpose
+    g = rng.normal(size=(512, 16)).astype(np.float32)
+    _, vjp = jax.vjp(lambda x: apply_linop(op, x), x)
+    np.testing.assert_allclose(np.asarray(vjp(g)[0]), dense.T @ g,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_wlsq_operator_matches_segment_path(setup):
+    cfg, pool, batch, static, dyn = setup
+    from gen_fvgn_tpu.ops.wlsq import node_based_wlsq_precomputed, WLSQ_DIM
+    sample0 = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[0], batch)
+    phi = jnp.asarray(
+        np.random.default_rng(0).normal(
+            size=(sample0.pos.shape[0], 7)).astype(np.float32))
+    # zero out padded nodes so both paths see the same field
+    phi = phi * sample0.node_mask[:, None]
+    ref = node_based_wlsq_precomputed(
+        phi, sample0.stencil, sample0.wlsq_S, sample0.wlsq_B, cfg.order,
+        colscale=sample0.wlsq_scale, stencil_mask=sample0.stencil_mask)
+    k = WLSQ_DIM[cfg.order]
+    blk = apply_linop(static.ops.wlsq, phi).reshape(-1, k, 7)
+    blk = jnp.swapaxes(blk, 1, 2)                    # [N, 7, k]
+    real = np.asarray(sample0.node_mask)
+    np.testing.assert_allclose(np.asarray(blk)[real], np.asarray(ref)[real],
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_integrator_block_matches_segment(setup):
+    cfg, pool, batch, static, dyn = setup
+    from functools import partial
+    from gen_fvgn_tpu.fv.integrator import integrate_residuals
+    from gen_fvgn_tpu.fv.integrator_block import integrate_residuals_block
+
+    rng = np.random.default_rng(1)
+    n_pad = int(batch.pos.shape[1])
+    uvp = rng.normal(size=(2, n_pad, 3)).astype(np.float32)
+    uvp *= np.asarray(batch.node_mask)[..., None]
+    uv_hat = uvp[..., 0:2] * 0.7
+    uv_old = uvp[..., 0:2] * 0.4
+
+    for conserved in (True, False):
+        ref = jax.vmap(partial(integrate_residuals, order=cfg.order,
+                               conserved_form=conserved, ncn_smooth=True))(
+            jnp.asarray(uvp), jnp.asarray(uv_hat), jnp.asarray(uv_old), batch)
+        blk = jax.vmap(partial(integrate_residuals_block, order=cfg.order,
+                               conserved_form=conserved, ncn_smooth=True,
+                               static=static),
+                       in_axes=(0, 0, 0, 0))(
+            jnp.asarray(uvp), jnp.asarray(uv_hat), jnp.asarray(uv_old), dyn)
+        for name, a, b in zip(("cont", "mom_x", "mom_y", "press"),
+                              ref[0], blk[0]):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=5e-3, atol=1e-4,
+                                       err_msg=f"{name} conserved={conserved}")
+        # smoothed node output on real nodes
+        real = np.asarray(batch.node_mask)
+        np.testing.assert_allclose(np.asarray(blk[1])[real],
+                                   np.asarray(ref[1])[real],
+                                   rtol=5e-3, atol=1e-4)
+
+
+def test_full_forward_matches(setup):
+    cfg, pool, batch, static, dyn = setup
+    from gen_fvgn_tpu.models import make_simulator
+    from gen_fvgn_tpu.models.simulator_block import make_simulator_block
+    from gen_fvgn_tpu.training.forward import forward_batch
+    from gen_fvgn_tpu.training.forward_block import forward_batch_block
+    from gen_fvgn_tpu.training.train import init_train_state
+
+    state, apply_fn = init_train_state(cfg, batch, seed=0)
+    out_ref = forward_batch(apply_fn, state.params, state.norm_state, batch,
+                            cfg, accumulate_normalizer=False)
+
+    sim_b = make_simulator_block(cfg)
+    out_blk = forward_batch_block(sim_b.apply, state.params, state.norm_state,
+                                  dyn, static, cfg,
+                                  accumulate_normalizer=False)
+    np.testing.assert_allclose(np.asarray(out_blk.loss_cont),
+                               np.asarray(out_ref.loss_cont), rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(out_blk.loss_mom_x),
+                               np.asarray(out_ref.loss_mom_x), rtol=1e-2)
+    real = np.asarray(batch.node_mask)
+    np.testing.assert_allclose(np.asarray(out_blk.uvp_node_new)[real],
+                               np.asarray(out_ref.uvp_node_new)[real],
+                               rtol=1e-2, atol=1e-3)
