@@ -55,6 +55,8 @@ class Config:
     dtype: str = "float32"             # compute dtype for the network
     mxu_dtype: str = "bfloat16"        # matmul input dtype ("float32" to disable)
     dp_devices: int = 1                # data-parallel shard count of the batch axis
+    engine: str = "segment"            # {"segment", "block"} sparse-op engine
+    tile: int = 256                    # block-engine dense tile size
 
     @property
     def edge_input_size(self) -> int:

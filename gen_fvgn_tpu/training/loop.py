@@ -44,6 +44,11 @@ def train(
 ) -> TrainState:
     n_epochs = n_epochs if n_epochs is not None else cfg.n_epochs
 
+    if cfg.engine == "block":
+        return _train_block(cfg, case_dirs, cases, log_base_dir, seed,
+                            n_epochs, resume_from, pad_multiple,
+                            progress_every, logger)
+
     pool = EnvPool(case_dirs, cfg, seed=seed, pad_multiple=pad_multiple,
                    cases=cases, device_resident=(cfg.dp_devices <= 1))
     cfg = cfg.replace(dataset_size=len(pool))
@@ -89,6 +94,73 @@ def train(
         # BC curriculum: re-roll the oldest environments after payback
         for _ in range(reset_pending):
             pool.reset_env()
+        reset_pending = 0
+
+        state = state.replace(epoch=state.epoch + 1)
+
+        if last_metrics is not None and (epoch % progress_every == 0):
+            logger.log_scalars(epoch, {
+                "loss": float(last_metrics.loss),
+                "loss_cont": float(last_metrics.loss_cont),
+                "loss_mom": float(last_metrics.loss_mom),
+                "loss_press": float(last_metrics.loss_press),
+                "grad_norm": float(last_metrics.grad_norm),
+                "lr": float(last_metrics.lr),
+                "epoch_seconds": time.time() - t0,
+            })
+        if epoch % 50 == 0 or epoch == n_epochs - 1:
+            ckpt.save(state, epoch)
+
+    return state
+
+
+def _train_block(cfg, case_dirs, cases, log_base_dir, seed, n_epochs,
+                 resume_from, pad_multiple, progress_every, logger):
+    """Block-engine training loop: single-case batches against shared
+    per-case StaticPacks; dynamics stay in the device pool."""
+    from gen_fvgn_tpu.io.checkpoint import RotatingCheckpointer, load_state
+    from gen_fvgn_tpu.training.train_block import (init_train_state_block,
+                                                   make_train_step_block)
+
+    pool = EnvPool(case_dirs, cfg, seed=seed, pad_multiple=pad_multiple,
+                   cases=cases, engine="block", tile=cfg.tile)
+    cfg = cfg.replace(dataset_size=len(pool))
+
+    first_ci, first_idxs = pool.block_batches(step_seed=0)[0]
+    dyn0 = pool.gather_block(first_idxs)
+    state, apply_fn = init_train_state_block(cfg, dyn0, pool.statics[first_ci],
+                                             seed=seed)
+    if resume_from is not None:
+        state = load_state(resume_from, like=state)
+    step = make_train_step_block(cfg, apply_fn)
+
+    if logger is None:
+        logger = RunLogger(log_base_dir, cfg, seed=seed)
+    ckpt = RotatingCheckpointer(logger.states_dir)
+
+    train_steps = 0
+    reset_pending = 0
+    reset_every = max(1, math.ceil(cfg.average_sequence_length / len(pool)))
+    rst_time = max(1, math.ceil(len(pool) / cfg.average_sequence_length))
+
+    for epoch in range(n_epochs):
+        t0 = time.time()
+        if epoch % reset_every == 0 and epoch > 0:
+            reset_pending = rst_time
+
+        last_metrics = None
+        for i_iter in range(cfg.max_inner_steps):
+            train_steps += 1
+            payback = i_iter == cfg.max_inner_steps - 1
+            for ci, idxs in pool.block_batches(step_seed=train_steps):
+                dyn = pool.gather_block(idxs)
+                state, metrics, uvp_new = step(state, dyn, pool.statics[ci])
+                last_metrics = metrics
+                if payback:
+                    pool.payback_block(idxs, uvp_new)
+
+        for _ in range(reset_pending):
+            pool.reset_env_block()
         reset_pending = 0
 
         state = state.replace(epoch=state.epoch + 1)
