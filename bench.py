@@ -7,9 +7,9 @@ conserved-form FV residual assembly, log-loss backward, and the Adam
 update — at batch_size 8 on one chip, on the block-sparse MXU engine
 (every graph transfer a precomputed dense-tile matmul; RCM-banded mesh).
 
-Timing methodology: N steps are chained inside ONE jit via lax.scan and the
-final loss is read back — per-dispatch wall timing is unreliable through the
-remote TPU runtime, so this measures true device time.
+Timing methodology: N python-loop steps with a final loss-value readback,
+which drains the execution queue — dispatch saturation makes this a faithful
+throughput measurement through the remote TPU runtime.
 
 vs_baseline: the reference repo publishes NO recorded numbers (BASELINE.md).
 We use a documented proxy of 10 steps/sec for the torch.compile single-GPU
@@ -35,8 +35,7 @@ def main():
     import jax
     from gen_fvgn_tpu.config import Config
     from gen_fvgn_tpu.training.pool import EnvPool
-    from gen_fvgn_tpu.training.train_block import (init_train_state_block,
-                                                   make_scan_train)
+    from gen_fvgn_tpu.training.train_block import init_train_state_block
 
     batch_size = int(os.environ.get("BENCH_BATCH", "8"))
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
@@ -50,16 +49,24 @@ def main():
     dyn = pool.gather_block(np.arange(batch_size))
     load_s = time.time() - t0
 
-    t0 = time.time()
-    state, apply_fn = init_train_state_block(cfg, dyn, static, seed=0)
-    run = make_scan_train(cfg, apply_fn, n_steps)
-    state, losses = run(state, dyn, static)       # compile + first chunk
-    first_losses = np.asarray(losses)
-    compile_s = time.time() - t0
+    from gen_fvgn_tpu.training.train_block import make_train_step_block
+    import jax as _jax
 
     t0 = time.time()
-    state, losses = run(state, dyn, static)
-    final_loss = float(np.asarray(losses)[-1])    # forces execution
+    state, apply_fn = init_train_state_block(cfg, dyn, static, seed=0)
+    step = make_train_step_block(cfg, apply_fn, donate=True)
+    state, metrics, _ = step(state, dyn, static)  # compile
+    first_losses = np.asarray([float(metrics.loss)])
+    compile_s = time.time() - t0
+    for _ in range(2):                            # steady-state warmup
+        state, metrics, _ = step(state, dyn, static)
+    _jax.block_until_ready(metrics.loss)
+    _ = float(metrics.loss)
+
+    t0 = time.time()
+    for _ in range(n_steps):
+        state, metrics, _ = step(state, dyn, static)
+    final_loss = float(metrics.loss)              # forces queue drain
     elapsed = time.time() - t0
 
     steps_per_sec = n_steps / elapsed

@@ -1,0 +1,61 @@
+"""Block-engine training: loop driver, convergence, rollout."""
+
+import numpy as np
+import pytest
+
+from gen_fvgn_tpu.config import Config
+from gen_fvgn_tpu.meshes.synthetic import cavity_quad_mesh, synthetic_case
+from gen_fvgn_tpu.training.pool import EnvPool
+from gen_fvgn_tpu.training.train_block import (init_train_state_block,
+                                               make_train_step_block)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config(batch_size=2, dataset_size=2, mxu_dtype="float32",
+                 hidden_size=32, message_passing_num=1, slice_num=8,
+                 attn_heads=4, lr=2e-3, engine="block")
+    case = synthetic_case(cavity_quad_mesh(6), source=1.0, mu=0.1)
+    pool = EnvPool([], cfg, seed=0, cases=[case], engine="block")
+    ci, idxs = pool.block_batches(0)[0]
+    dyn = pool.gather_block(idxs)
+    state, apply_fn = init_train_state_block(cfg, dyn, pool.statics[ci],
+                                             seed=0)
+    return cfg, pool, ci, idxs, dyn, state, apply_fn
+
+
+def test_block_loss_decreases(setup):
+    cfg, pool, ci, idxs, dyn, state, apply_fn = setup
+    step = make_train_step_block(cfg, apply_fn, donate=False)
+    losses = []
+    s = state
+    for _ in range(40):
+        s, m, _ = step(s, dyn, pool.statics[ci])
+        losses.append(float(m.loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_block_loop_driver(tmp_path):
+    from gen_fvgn_tpu.training.loop import train
+    cfg = Config(batch_size=2, dataset_size=2, n_epochs=2, max_inner_steps=2,
+                 mxu_dtype="float32", hidden_size=32, message_passing_num=1,
+                 slice_num=8, attn_heads=4, engine="block",
+                 average_sequence_length=2)
+    case = synthetic_case(cavity_quad_mesh(5), source=1.0, mu=0.1)
+    state = train(cfg, cases=[case], log_base_dir=str(tmp_path), seed=0)
+    assert int(state.epoch) == 2
+
+
+def test_block_rollout(setup):
+    cfg, pool, ci, idxs, dyn, state, apply_fn = setup
+    from gen_fvgn_tpu.solve.rollout_block import (rollout_block,
+                                                  rollout_block_scan)
+    hist = rollout_block(cfg, state.params, state.norm_state, apply_fn, dyn,
+                         pool.statics[ci], n_steps=2)
+    assert len(hist) == 2 and np.isfinite(hist[-1]["uvp_node"]).all()
+    final_dyn, traces = rollout_block_scan(
+        cfg, state.params, state.norm_state, apply_fn, dyn,
+        pool.statics[ci], n_steps=3)
+    assert np.isfinite(np.asarray(final_dyn.uvp)).all()
+    assert np.asarray(traces[0]).shape[0] == 3
