@@ -1,0 +1,86 @@
+"""Multi-case pools: mixed tri/quad meshes in one bucket, per-case batch
+stratification for the block engine, Taylor-Green / parabolic profiles."""
+
+import numpy as np
+import pytest
+
+from gen_fvgn_tpu.config import Config
+from gen_fvgn_tpu.graph.physics import velocity_profile
+from gen_fvgn_tpu.meshes.synthetic import (cavity_quad_mesh, cavity_tri_mesh,
+                                           synthetic_case)
+from gen_fvgn_tpu.training.pool import EnvPool
+
+
+def test_mixed_mesh_pool_segment():
+    cfg = Config(batch_size=2, dataset_size=4, hidden_size=16,
+                 message_passing_num=1)
+    cases = [synthetic_case(cavity_quad_mesh(6), name="quad"),
+             synthetic_case(cavity_tri_mesh(5), name="tri")]
+    pool = EnvPool([], cfg, seed=0, pad_multiple=16, cases=cases,
+                   dataset_size=4)
+    # both cases present, padded to one bucket
+    batch = pool.gather_batch(np.asarray([0, 1]))
+    assert np.asarray(batch.pos).shape[0] == 2
+    names = {e.case["case_name"] for e in pool.envs}
+    assert names == {"quad", "tri"}
+
+
+def test_block_batches_are_single_case():
+    cfg = Config(batch_size=2, dataset_size=4, hidden_size=16,
+                 message_passing_num=1)
+    cases = [synthetic_case(cavity_quad_mesh(6), name="quad"),
+             synthetic_case(cavity_tri_mesh(5), name="tri")]
+    pool = EnvPool([], cfg, seed=0, cases=cases, dataset_size=4,
+                   engine="block")
+    assert len(pool.statics) == 2
+    batches = pool.block_batches(3)
+    assert len(batches) == 2
+    for ci, idxs in batches:
+        case_ids = {pool.envs[int(i)].case_idx for i in idxs}
+        assert case_ids == {ci}
+
+
+def test_taylor_green_profile():
+    pos = np.asarray([[0.25, 0.0], [0.0, 0.0], [0.0, 0.25]], np.float32)
+    uv, p = velocity_profile(pos, mean_u=2.0, aoa=0.0, profile="Taylor_Green")
+    # u = U sin(2πx)cos(2πy), v = −U cos(2πx)sin(2πy),
+    # p = −U/4 (cos4πx + cos4πy)
+    np.testing.assert_allclose(uv[0], [2.0, 0.0], atol=1e-5)   # (1/4, 0)
+    np.testing.assert_allclose(uv[1], [0.0, 0.0], atol=1e-5)   # origin
+    np.testing.assert_allclose(uv[2], [0.0, -2.0], atol=1e-5)  # (0, 1/4)
+    np.testing.assert_allclose(p[1, 0], -0.5 * 2.0, atol=1e-5)
+    np.testing.assert_allclose(p[0, 0], 0.0, atol=1e-5)
+
+
+def test_parabolic_profile():
+    y = np.linspace(0.0, 1.0, 11)
+    pos = np.stack([np.zeros_like(y), y], axis=1).astype(np.float32)
+    uv, _ = velocity_profile(pos, mean_u=1.5, aoa=0.0, profile="parabolic")
+    # max at the centerline: 6·U·0.5·0.5 = 1.5·U
+    np.testing.assert_allclose(uv[5, 0], 1.5 * 1.5, rtol=1e-5)
+    np.testing.assert_allclose(uv[0, 0], 0.0, atol=1e-6)
+    np.testing.assert_allclose(uv[-1, 0], 0.0, atol=1e-6)
+
+
+def test_uniform_aoa_profile():
+    pos = np.zeros((4, 2), np.float32)
+    uv, _ = velocity_profile(pos, mean_u=2.0, aoa=30.0, profile="uniform_aoa")
+    np.testing.assert_allclose(uv[0], [2.0 * np.cos(np.pi / 6),
+                                       2.0 * np.sin(np.pi / 6)], rtol=1e-5)
+
+
+def test_literal_init_field():
+    pos = np.zeros((3, 2), np.float32)
+    uv, p = velocity_profile(pos, mean_u=1.0, aoa=0.0, profile=[0.3, -0.1, 2.0])
+    np.testing.assert_allclose(uv[0], [0.3, -0.1])
+    np.testing.assert_allclose(p[0, 0], 2.0)
+
+
+def test_pressure_point_source():
+    from gen_fvgn_tpu.graph.physics import pressure_point_source
+    pos = np.asarray([[0.5, 0.5], [0.0, 0.0]], np.float64)
+    center = np.asarray([0.5, 0.5])
+    src = pressure_point_source(pos, center, source_frequency=1.0,
+                                source_strength=1.0, dt=0.5, time_index=1)
+    assert src[0, 0] == pytest.approx(np.sin(0.5 * np.pi), rel=1e-6)
+    assert abs(src[1, 0]) < 1e-6  # far from center: Gaussian ~ 0
