@@ -39,12 +39,14 @@ def main():
 
     batch_size = int(os.environ.get("BENCH_BATCH", "8"))
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    tile = int(os.environ.get("BENCH_TILE", "256"))
 
     cfg = Config(batch_size=batch_size, dataset_size=batch_size,
-                 n_epochs=1000, mxu_dtype="bfloat16")
+                 n_epochs=1000, mxu_dtype="bfloat16", tile=tile)
 
     t0 = time.time()
-    pool = EnvPool([CASE], cfg, seed=0, pad_multiple=256, engine="block")
+    pool = EnvPool([CASE], cfg, seed=0, pad_multiple=max(tile, 256),
+                   engine="block", tile=tile)
     static = pool.statics[0]
     dyn = pool.gather_block(np.arange(batch_size))
     load_s = time.time() - t0

@@ -115,9 +115,15 @@ def _pad_to(x: int, m: int) -> int:
 
 
 def build_mesh_operators(mesh: Dict[str, np.ndarray], order: str,
-                         sizes, tile: int = 256) -> MeshOperators:
+                         sizes, tile: int = 256,
+                         model_ops_bf16: bool = True) -> MeshOperators:
     """Build all operators for ONE compiled+prepared mesh (with stencil and
-    WLSQ statics attached), padded to `sizes` (PadSizes)."""
+    WLSQ statics attached), padded to `sizes` (PadSizes).
+
+    model_ops_bf16: store the structural (0/±1, exactly-representable)
+    message-passing operators in bfloat16 — they act on network activations
+    that are bf16 on the MXU anyway, and operator blocks dominate HBM
+    traffic. FV/WLSQ operators stay float32."""
     from gen_fvgn_tpu.ops.wlsq import WLSQ_DIM, odd_sign_vector
 
     pos = mesh["node|pos"].astype(np.float64)
@@ -142,21 +148,22 @@ def build_mesh_operators(mesh: Dict[str, np.ndarray], order: str,
 
     s, r = face_node[0], face_node[1]
 
-    # model ops
+    # model ops (structural 0/±1 → bf16-safe)
+    mdt = "bfloat16" if model_ops_bf16 else np.float32
     rows = np.concatenate([r, s]); cols = np.concatenate([s, r])
     ones2 = np.ones(2 * e, np.float32)
-    adj = build_linop(rows, cols, ones2, np_pad, np_pad, tile, tile)
+    adj = build_linop(rows, cols, ones2, np_pad, np_pad, tile, tile, mdt)
     deg = np.zeros((np_pad, 1), np.float32)
     np.add.at(deg, rows, 1.0)
 
-    gs = build_linop(*gather_coo(s), e_pad, np_pad, tile, tile)
-    gr = build_linop(*gather_coo(r), e_pad, np_pad, tile, tile)
+    gs = build_linop(*gather_coo(s), e_pad, np_pad, tile, tile, dtype=mdt)
+    gr = build_linop(*gather_coo(r), e_pad, np_pad, tile, tile, dtype=mdt)
     ed = build_linop(*signed_diff_coo(face_node), e_pad, np_pad, tile, tile)
     e_idx = np.arange(e)
     scat_r = build_linop(r, e_idx, np.ones(e, np.float32), np_pad, e_pad,
-                         tile, tile)
+                         tile, tile, mdt)
     scat_s = build_linop(s, e_idx, np.ones(e, np.float32), np_pad, e_pad,
-                         tile, tile)
+                         tile, tile, mdt)
 
     # ---- folded WLSQ operator ----
     stencil = mesh["stencil"].astype(np.int64)

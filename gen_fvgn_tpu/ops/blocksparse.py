@@ -60,10 +60,13 @@ def _round_up(x: int, m: int) -> int:
 
 def build_block_op(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
                    n_out: int, n_in: int, tile_out: int = 256,
-                   tile_in: int = 256) -> BlockOp:
+                   tile_in: int = 256, dtype=np.float32) -> BlockOp:
     """Assemble dense tiles from COO triplets (duplicates accumulate).
 
-    n_out / n_in are the PADDED sizes (must be multiples of the tiles)."""
+    n_out / n_in are the PADDED sizes (must be multiples of the tiles).
+    dtype: block storage dtype — use bfloat16 for structural (0/±1)
+    operators applied to network activations; values are exact and the
+    HBM traffic halves."""
     assert n_out % tile_out == 0 and n_in % tile_in == 0
     n_to, n_ti = n_out // tile_out, n_in // tile_in
     rows = np.asarray(rows, np.int64)
@@ -81,29 +84,41 @@ def build_block_op(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
 
     counts = np.bincount(ub, minlength=n_to)
     k = max(int(counts.max()) if counts.size else 1, 1)
-    blocks = np.zeros((n_to, k, tile_out, tile_in), np.float32)
+    if dtype == np.float32:
+        np_dtype = np.float32
+    else:
+        import ml_dtypes
+        np_dtype = ml_dtypes.bfloat16
+    blocks = np.zeros((n_to, k, tile_out, tile_in), np_dtype)
     in_tile = np.zeros((n_to, k), np.int32)
     slot = np.zeros(n_to, np.int64)
     for b in range(n_blocks):
         i = ub[b]
-        blocks[i, slot[i]] = dense[b]
+        blocks[i, slot[i]] = dense[b].astype(np_dtype)
         in_tile[i, slot[i]] = uc[b]
         slot[i] += 1
     return BlockOp(blocks=jnp.asarray(blocks), in_tile=jnp.asarray(in_tile))
 
 
 def build_linop(rows, cols, vals, n_out: int, n_in: int,
-                tile_out: int = 256, tile_in: int = 256) -> LinOp:
+                tile_out: int = 256, tile_in: int = 256,
+                dtype=np.float32) -> LinOp:
     return LinOp(
-        fwd=build_block_op(rows, cols, vals, n_out, n_in, tile_out, tile_in),
-        bwd=build_block_op(cols, rows, vals, n_in, n_out, tile_in, tile_out),
+        fwd=build_block_op(rows, cols, vals, n_out, n_in, tile_out, tile_in,
+                           dtype),
+        bwd=build_block_op(cols, rows, vals, n_in, n_out, tile_in, tile_out,
+                           dtype),
     )
 
 
 def _apply_block_op(op: BlockOp, x: jnp.ndarray) -> jnp.ndarray:
-    """x [n_in, F] -> [n_out, F] (F may itself be a flattened feature pack)."""
+    """x [n_in, F] -> [n_out, F] (F may itself be a flattened feature pack).
+
+    bf16 blocks cast the operand to bf16 for the MXU (f32 accumulation)."""
     n_ti = x.shape[0] // op.tile_in
     xt = x.reshape(n_ti, op.tile_in, -1)
+    if op.blocks.dtype == jnp.bfloat16:
+        xt = xt.astype(jnp.bfloat16)
     gathered = jnp.take(xt, op.in_tile, axis=0)          # [nTo, K, Ti, F]
     out = jnp.einsum("nkab,nkbf->naf", op.blocks, gathered,
                      preferred_element_type=jnp.float32)
