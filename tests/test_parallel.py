@@ -64,3 +64,43 @@ def test_output_sharding_follows_batch(setup):
     _, _, uvp_new = step(sharded_state, sharded_batch)
     # payback output stays sharded over dp — no implicit full gather
     assert len(uvp_new.sharding.device_set) == 8
+
+
+def test_block_engine_dp_matches_single_device():
+    """Block engine under dp sharding: dyn batch sharded, operators + params
+    replicated; must match the single-device step."""
+    from gen_fvgn_tpu.parallel.dp import make_mesh, replicate_sharding
+    from gen_fvgn_tpu.training.pool import EnvPool
+    from gen_fvgn_tpu.training.train_block import (init_train_state_block,
+                                                   make_train_step_block)
+    from gen_fvgn_tpu.meshes.synthetic import cavity_quad_mesh, synthetic_case
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = Config(batch_size=8, dataset_size=8, mxu_dtype="float32",
+                 hidden_size=32, message_passing_num=1, slice_num=8,
+                 attn_heads=4)
+    case = synthetic_case(cavity_quad_mesh(5), continuity=1, convection=1,
+                          grad_p=1, mu=0.05, sigma=(1, 1, 1))
+    pool = EnvPool([], cfg, seed=0, cases=[case], dataset_size=8,
+                   engine="block")
+    ci, idxs = 0, np.arange(8)
+    dyn = pool.gather_block(idxs)
+    static = pool.statics[ci]
+    state, apply_fn = init_train_state_block(cfg, dyn, static, seed=0)
+    step = make_train_step_block(cfg, apply_fn, donate=False)
+
+    s1, m1, u1 = step(state, dyn, static)
+
+    mesh = make_mesh(8)
+    shard_b = NamedSharding(mesh, P("dp"))
+    repl = replicate_sharding(mesh)
+    dyn8 = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, shard_b if x.ndim >= 1 and
+                                 x.shape[0] == 8 else repl), dyn)
+    state8 = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), state)
+    static8 = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), static)
+    s8, m8, u8 = step(state8, dyn8, static8)
+
+    np.testing.assert_allclose(float(m1.loss), float(m8.loss), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u8), rtol=1e-4,
+                               atol=1e-5)
