@@ -146,3 +146,98 @@ def solve_lbfgs(
             export_fn(t, rec["uvp_node"], rec["uvp_cell"], rec)
         batch = batch.replace(uvp=out.uvp_node_new)
     return params, history
+
+
+# ---- block-engine variants (dyn/static pack layout) ----
+
+
+def _loss_fn_block(simulator_apply, cfg):
+    from gen_fvgn_tpu.training.forward_block import forward_batch_block
+
+    def f(params, norm_state, dyn, static):
+        out = forward_batch_block(simulator_apply, params, norm_state, dyn,
+                                  static, cfg, accumulate_normalizer=False)
+        return training_loss(out, cfg), out
+    return f
+
+
+def solve_adam_block(cfg, params, norm_state, simulator_apply, dyn, static,
+                     n_time_steps, inner_steps=None, lr=None,
+                     export_fn=None):
+    """Instance-optimized time marching on the block engine (Adam inner
+    loop per frozen time step, as one lax.scan chunk per step)."""
+    import numpy as np
+    inner_steps = inner_steps or cfg.max_inner_steps
+    lr = lr or cfg.lr
+    loss_fn = _loss_fn_block(simulator_apply, cfg)
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def run(params, opt_state, norm_state, dyn, static):
+        def body(carry, _):
+            params, opt_state = carry
+            (loss, out), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, norm_state, dyn, static)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=inner_steps)
+        _, out = loss_fn(params, norm_state, dyn, static)
+        return params, opt_state, losses, out
+
+    history = []
+    for t in range(n_time_steps):
+        opt_state = opt.init(params)
+        params, opt_state, losses, out = run(params, opt_state, norm_state,
+                                             dyn, static)
+        rec = {"step": t, "inner_losses": np.asarray(losses),
+               "uvp_node": np.asarray(out.uvp_node_new),
+               "uvp_cell": np.asarray(out.uvp_cell_new)}
+        history.append(rec)
+        if export_fn is not None:
+            export_fn(t, rec["uvp_node"], rec["uvp_cell"], rec)
+        dyn = dyn.replace(uvp=out.uvp_node_new)
+    return params, history
+
+
+def solve_lbfgs_block(cfg, params, norm_state, simulator_apply, dyn, static,
+                      n_time_steps, max_iter=100, memory_size=100,
+                      export_fn=None):
+    """L-BFGS instance optimization on the block engine."""
+    import numpy as np
+    loss_fn = _loss_fn_block(simulator_apply, cfg)
+    opt = optax.lbfgs(memory_size=memory_size)
+
+    @jax.jit
+    def run(params, norm_state, dyn, static):
+        def pure_loss(p):
+            return loss_fn(p, norm_state, dyn, static)[0]
+        value_and_grad = optax.value_and_grad_from_state(pure_loss)
+
+        def body(carry, _):
+            params, opt_state = carry
+            value, grad = value_and_grad(params, state=opt_state)
+            updates, opt_state = opt.update(
+                grad, opt_state, params, value=value, grad=grad,
+                value_fn=pure_loss)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), value
+
+        opt_state = opt.init(params)
+        (params, opt_state), values = jax.lax.scan(
+            body, (params, opt_state), None, length=max_iter)
+        _, out = loss_fn(params, norm_state, dyn, static)
+        return params, values, out
+
+    history = []
+    for t in range(n_time_steps):
+        params, values, out = run(params, norm_state, dyn, static)
+        rec = {"step": t, "inner_losses": np.asarray(values),
+               "uvp_node": np.asarray(out.uvp_node_new),
+               "uvp_cell": np.asarray(out.uvp_cell_new)}
+        history.append(rec)
+        if export_fn is not None:
+            export_fn(t, rec["uvp_node"], rec["uvp_cell"], rec)
+        dyn = dyn.replace(uvp=out.uvp_node_new)
+    return params, history

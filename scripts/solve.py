@@ -29,6 +29,7 @@ def main(argv=None):
     ap.add_argument("--out-dir", default="solve_out")
     ap.add_argument("--order", default="2nd")
     ap.add_argument("--net", default="TransFVGN_v2")
+    ap.add_argument("--engine", default="segment", choices=["segment", "block"])
     args = ap.parse_args(argv)
 
     from gen_fvgn_tpu.config import Config
@@ -39,7 +40,10 @@ def main(argv=None):
     from gen_fvgn_tpu.training.pool import EnvPool
     from gen_fvgn_tpu.training.train import init_train_state
 
-    cfg = Config(batch_size=1, dataset_size=1, order=args.order, net=args.net)
+    cfg = Config(batch_size=1, dataset_size=1, order=args.order, net=args.net,
+                 engine=args.engine)
+    if args.engine == "block":
+        return _solve_block(cfg, args)
     pool = EnvPool([args.case], cfg, seed=0)
     batch = pool.gather_batch(np.asarray([0]))
     state, apply_fn = init_train_state(cfg, batch, seed=0)
@@ -75,6 +79,37 @@ def main(argv=None):
                               max_iter=args.inner_steps, export_fn=export)
         print(f"lbfgs solve finished: last inner loss "
               f"{hist[-1]['inner_losses'][-1]:.5f}")
+
+
+def _solve_block(cfg, args):
+    from gen_fvgn_tpu.io.checkpoint import load_state
+    from gen_fvgn_tpu.io.tecplot import write_tecplot_zone
+    from gen_fvgn_tpu.solve.rollout_block import rollout_block
+    from gen_fvgn_tpu.training.pool import EnvPool
+    from gen_fvgn_tpu.training.train_block import init_train_state_block
+
+    pool = EnvPool([args.case], cfg, seed=0, engine="block")
+    dyn = pool.gather_block(np.asarray([0]))
+    static = pool.statics[0]
+    state, apply_fn = init_train_state_block(cfg, dyn, static, seed=0)
+    if args.checkpoint:
+        state = load_state(args.checkpoint, like=state)
+
+    mesh = pool.cases[0]["mesh"]
+    n_nodes = mesh["node|pos"].shape[0]
+
+    def export(t, uvp_node, uvp_cell, rec):
+        write_tecplot_zone(
+            os.path.join(args.out_dir, f"step_{t:05d}.dat"),
+            mesh["node|pos"], mesh["cells_node"], mesh["cells_index"],
+            {"U": uvp_node[0, :n_nodes, 0], "V": uvp_node[0, :n_nodes, 1],
+             "P": uvp_node[0, :n_nodes, 2]},
+            solution_time=float(t))
+
+    hist = rollout_block(cfg, state.params, state.norm_state, apply_fn, dyn,
+                         static, n_steps=args.steps, export_fn=export)
+    print(f"block rollout finished: final cont residual "
+          f"{hist[-1]['loss_cont'][0]:.3e}")
 
 
 if __name__ == "__main__":

@@ -59,3 +59,18 @@ def test_block_rollout(setup):
         pool.statics[ci], n_steps=3)
     assert np.isfinite(np.asarray(final_dyn.uvp)).all()
     assert np.asarray(traces[0]).shape[0] == 3
+
+
+def test_block_instance_opt(setup):
+    cfg, pool, ci, idxs, dyn, state, apply_fn = setup
+    from gen_fvgn_tpu.solve.instance_opt import (solve_adam_block,
+                                                 solve_lbfgs_block)
+    params, hist = solve_adam_block(cfg, state.params, state.norm_state,
+                                    apply_fn, dyn, pool.statics[ci],
+                                    n_time_steps=1, inner_steps=10, lr=1e-3)
+    losses = hist[0]["inner_losses"]
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+    params, hist = solve_lbfgs_block(cfg, state.params, state.norm_state,
+                                     apply_fn, dyn, pool.statics[ci],
+                                     n_time_steps=1, max_iter=4)
+    assert np.isfinite(hist[0]["inner_losses"]).all()
