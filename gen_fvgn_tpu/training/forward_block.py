@@ -34,7 +34,6 @@ def forward_batch_block(
     theta_nodes = jnp.broadcast_to(dyn.theta[:, None, :],
                                    (b, n_pad, dyn.theta.shape[-1]))
     x = jnp.concatenate([dyn.uvp, theta_nodes], axis=-1)       # [B,Np,12]
-    uv_old = dyn.uvp[..., 0:2] / dyn.uvp_dim[:, None, 0:2]
 
     phi = x[..., : cfg.node_phi_size]
     if cfg.norm_uvp:

@@ -296,13 +296,37 @@ class EnvPool:
         return Environment(case=case, sample=sample, theta_sample=ts,
                            case_idx=case_idx)
 
-    def reset_env(self) -> None:
+    def export_env(self, pos: int, out_dir: str, tag: str = "") -> str:
+        """Export an environment's current solution to Tecplot (parity with
+        the reference's export-on-reset, Graph_loader.py:231-321)."""
+        from gen_fvgn_tpu.io.tecplot import write_tecplot_zone
+        env = self.envs[pos]
+        mesh = env.case["mesh"]
+        n = mesh["node|pos"].shape[0]
+        uvp = self.host_uvp(pos)[:n] if self._device_data is not None else \
+            np.asarray(env.sample.uvp)[:n]
+        path = os.path.join(
+            out_dir, f"{env.case['case_name']}{tag}_age{env.age}.dat")
+        write_tecplot_zone(
+            path, mesh["node|pos"], mesh["cells_node"], mesh["cells_index"],
+            {"U": uvp[:, 0], "V": uvp[:, 1], "P": uvp[:, 2]},
+            zone_title=env.case["case_name"], solution_time=float(env.age))
+        return path
+
+    def reset_env(self, export_dir: Optional[str] = None) -> None:
         """Re-roll the OLDEST environment's boundary condition in place
         (parity: Data_Pool.reset_env pops index 0 and appends the re-rolled
         mesh, Graph_loader.py:154-229; here slots are stable and age is
-        tracked separately so the device pool never reshapes)."""
+        tracked separately so the device pool never reshapes). With
+        export_dir set, the outgoing solution is exported first (parity with
+        the reference's plot-on-reset)."""
         if not hasattr(self, "_age_order") or len(self._age_order) != len(self.envs):
             self._age_order = list(range(len(self.envs)))
+        if export_dir is not None:
+            try:
+                self.export_env(self._age_order[0], export_dir, tag="_reset")
+            except Exception:
+                pass
         pos = self._age_order.pop(0)
         new_env = self._make_env(self.envs[pos].case,
                                  self.envs[pos].case_idx)

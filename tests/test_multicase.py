@@ -84,3 +84,39 @@ def test_pressure_point_source():
                                 source_strength=1.0, dt=0.5, time_index=1)
     assert src[0, 0] == pytest.approx(np.sin(0.5 * np.pi), rel=1e-6)
     assert abs(src[1, 0]) < 1e-6  # far from center: Gaussian ~ 0
+
+
+def test_boundary_zone_extraction():
+    from gen_fvgn_tpu.meshes.boundary import extract_boundary_zone
+    from gen_fvgn_tpu.meshes.tecplot import tecplot_to_mesh
+    from gen_fvgn_tpu.meshes.geometry import compile_mesh
+    mesh = compile_mesh(tecplot_to_mesh(
+        "/root/reference/mesh_example/cylinder_flow_poly/mesh.dat",
+        "cylinder_flow_poly"))
+    zone = extract_boundary_zone(mesh, rho=1.0, mu=0.01, dt=0.1)
+    assert zone is not None
+    assert zone["node|mesh_pos"].shape[0] == 58       # cylinder surface nodes
+    # surface edges form a closed loop: 58 edges over 58 nodes
+    assert zone["face|face_node"].shape[1] == 58
+    assert zone["face|face_node"].max() < 58
+
+
+def test_boundary_zone_none_without_surf():
+    from gen_fvgn_tpu.meshes.boundary import extract_boundary_zone
+    mesh = cavity_quad_mesh(4)
+    assert extract_boundary_zone(mesh) is None
+
+
+def test_export_env_writes_solution(tmp_path):
+    cfg = Config(batch_size=2, dataset_size=2, hidden_size=16,
+                 message_passing_num=1)
+    case = synthetic_case(cavity_quad_mesh(4))
+    pool = EnvPool([], cfg, seed=0, pad_multiple=8, cases=[case])
+    pool._age_order = list(range(len(pool.envs)))
+    path = pool.export_env(0, str(tmp_path))
+    text = open(path).read()
+    assert "VARIABLES" in text and '"U"' in text
+    # reset with export_dir exports the outgoing env
+    pool.reset_env(export_dir=str(tmp_path))
+    import os as _os
+    assert len([f for f in _os.listdir(tmp_path) if f.endswith(".dat")]) >= 2
