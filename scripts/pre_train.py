@@ -34,6 +34,9 @@ def main(argv=None):
     ap.add_argument("--dp-devices", type=int, default=1)
     ap.add_argument("--mxu-dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
+    ap.add_argument("--engine", default="block",
+                    choices=["segment", "block"],
+                    help="sparse-op engine (block = MXU dense-tile, fastest)")
     ap.add_argument("--resume", default=None, help="path to a .state file")
     args = ap.parse_args(argv)
 
@@ -45,7 +48,8 @@ def main(argv=None):
         dataset_size=args.dataset_size, lr=args.lr, order=args.order,
         integrator=args.integrator, conserved_form=bool(args.conserved_form),
         max_inner_steps=args.max_inner_steps, dataset_dir=args.dataset_dir,
-        dp_devices=args.dp_devices, mxu_dtype=args.mxu_dtype)
+        dp_devices=args.dp_devices, mxu_dtype=args.mxu_dtype,
+        engine=args.engine)
 
     case_dirs = sorted(
         {os.path.dirname(os.path.join(sub, f))
