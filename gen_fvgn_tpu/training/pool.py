@@ -159,6 +159,15 @@ class EnvPool:
 
         self.sizes = PadSizes.for_meshes([c["mesh"] for c in self.cases],
                                          multiple=pad_multiple)
+        # block engine: per-case buckets (batches are single-case, so every
+        # case can use its own minimal padded shape; jit retraces per shape,
+        # amortized by the persistent compilation cache)
+        if engine == "block":
+            self.case_sizes = [
+                PadSizes.for_meshes([c["mesh"]], multiple=pad_multiple)
+                for c in self.cases]
+        else:
+            self.case_sizes = [self.sizes] * len(self.cases)
         self.envs: List[Environment] = []
         i = 0
         while len(self.envs) < size:
@@ -185,11 +194,20 @@ class EnvPool:
                                               dynamic_from_sample)
         self.statics = [
             jax.device_put(build_static_pack(c["mesh"], self.cfg.order,
-                                             self.sizes, self.tile))
-            for c in self.cases]
-        dyns = [dynamic_from_sample(e.sample) for e in self.envs]
-        self._dyn_pool = jax.device_put(jax.tree_util.tree_map(
-            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *dyns))
+                                             self.case_sizes[ci], self.tile))
+            for ci, c in enumerate(self.cases)]
+
+        # one device dynamic pool per case (shapes differ across cases)
+        self._env_local: List[int] = [0] * len(self.envs)
+        per_case: Dict[int, list] = {}
+        for i, env in enumerate(self.envs):
+            self._env_local[i] = len(per_case.setdefault(env.case_idx, []))
+            per_case[env.case_idx].append(i)
+        self._dyn_pools = {}
+        for ci, env_ids in per_case.items():
+            dyns = [dynamic_from_sample(self.envs[i].sample) for i in env_ids]
+            self._dyn_pools[ci] = jax.device_put(jax.tree_util.tree_map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *dyns))
 
         self._jit_dyn_gather = jax.jit(
             lambda data, idxs: jax.tree_util.tree_map(
@@ -224,13 +242,17 @@ class EnvPool:
 
     def gather_block(self, idxs: np.ndarray):
         import jax.numpy as jnp
-        return self._jit_dyn_gather(self._dyn_pool,
-                                    jnp.asarray(idxs, jnp.int32))
+        ci = self.envs[int(idxs[0])].case_idx
+        local = np.asarray([self._env_local[int(i)] for i in idxs], np.int32)
+        return self._jit_dyn_gather(self._dyn_pools[ci],
+                                    jnp.asarray(local, jnp.int32))
 
     def payback_block(self, idxs: np.ndarray, uvp_new) -> None:
         import jax.numpy as jnp
-        self._dyn_pool = self._jit_dyn_payback(
-            self._dyn_pool, jnp.asarray(idxs, jnp.int32), uvp_new)
+        ci = self.envs[int(idxs[0])].case_idx
+        local = np.asarray([self._env_local[int(i)] for i in idxs], np.int32)
+        self._dyn_pools[ci] = self._jit_dyn_payback(
+            self._dyn_pools[ci], jnp.asarray(local, jnp.int32), uvp_new)
         for i in idxs:
             self.envs[int(i)].age += 1
 
@@ -247,8 +269,9 @@ class EnvPool:
         new_vals = {f: np.asarray(getattr(dyn, f))
                     for f in ("uvp", "target_uv", "theta", "sigma",
                               "uvp_dim", "dt")}
-        self._dyn_pool = self._jit_dyn_reroll(self._dyn_pool, np.int32(pos),
-                                              new_vals)
+        ci = new_env.case_idx
+        self._dyn_pools[ci] = self._jit_dyn_reroll(
+            self._dyn_pools[ci], np.int32(self._env_local[pos]), new_vals)
 
     # ---- device-resident pool ----
 
@@ -292,7 +315,9 @@ class EnvPool:
         prepared["uvp"] = uvp
         prepared["target|uvp"] = target
         prepared["sigma"] = np.asarray(case["bc"]["sigma"], dtype=np.float32)
-        sample = pad_mesh_to_sample(prepared, self.sizes, self.cfg.order)
+        sizes = (self.case_sizes[case_idx] if hasattr(self, "case_sizes")
+                 else self.sizes)
+        sample = pad_mesh_to_sample(prepared, sizes, self.cfg.order)
         return Environment(case=case, sample=sample, theta_sample=ts,
                            case_idx=case_idx)
 
