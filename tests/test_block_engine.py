@@ -31,8 +31,8 @@ def setup():
                           mu=0.05, sigma=(1, 1, 1))
     pool = EnvPool([], cfg, seed=0, pad_multiple=256, cases=[case])
     batch = pool.gather_batch(np.asarray([0, 1]))
-    static = build_static_pack(pool.cases[0]["mesh"], cfg.order, pool.sizes,
-                               tile=256)
+    static = build_static_pack(pool.cases[0]["mesh"], cfg.order,
+                               pool.case_sizes[0], tile=256)
     dyn = jax.tree_util.tree_map(jnp.asarray, dynamic_from_sample(batch))
     return cfg, pool, batch, static, dyn
 
