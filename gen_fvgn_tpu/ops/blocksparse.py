@@ -111,10 +111,26 @@ def build_linop(rows, cols, vals, n_out: int, n_in: int,
     )
 
 
+# Route LinOp applications through the Pallas streaming kernel
+# (ops/pallas_spmm.py) instead of the XLA gather+einsum. The kernel avoids
+# materializing the gathered operand tiles in HBM (scalar-prefetched DMA
+# straight into VMEM). Off by default until profiled per-workload.
+_USE_PALLAS = False
+
+
+def use_pallas_spmm(enabled: bool = True) -> None:
+    global _USE_PALLAS
+    _USE_PALLAS = enabled
+
+
 def _apply_block_op(op: BlockOp, x: jnp.ndarray) -> jnp.ndarray:
     """x [n_in, F] -> [n_out, F] (F may itself be a flattened feature pack).
 
     bf16 blocks cast the operand to bf16 for the MXU (f32 accumulation)."""
+    if _USE_PALLAS and x.ndim == 2 and x.shape[1] % 128 == 0 \
+            and op.blocks.dtype == jnp.float32:
+        from gen_fvgn_tpu.ops.pallas_spmm import pallas_block_spmm
+        return pallas_block_spmm(op.blocks, op.in_tile, x)
     n_ti = x.shape[0] // op.tile_in
     xt = x.reshape(n_ti, op.tile_in, -1)
     if op.blocks.dtype == jnp.bfloat16:

@@ -1,0 +1,40 @@
+"""Pallas block-SpMM kernel vs the XLA einsum path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_pallas_spmm_matches_einsum():
+    from gen_fvgn_tpu.ops.pallas_spmm import pallas_block_spmm
+    rng = np.random.default_rng(0)
+    n_to, k, t, f = 4, 3, 128, 128
+    n_ti = 6
+    blocks = rng.normal(size=(n_to, k, t, t)).astype(np.float32)
+    in_tile = rng.integers(0, n_ti, size=(n_to, k)).astype(np.int32)
+    x = rng.normal(size=(n_ti * t, f)).astype(np.float32)
+
+    ref = np.einsum("nkab,nkbf->naf", blocks,
+                    x.reshape(n_ti, t, f)[in_tile]).reshape(n_to * t, f)
+    out = np.asarray(pallas_block_spmm(jnp.asarray(blocks),
+                                       jnp.asarray(in_tile),
+                                       jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_spmm_matches_linop_apply():
+    from gen_fvgn_tpu.ops.blocksparse import build_block_op, _apply_block_op
+    from gen_fvgn_tpu.ops.pallas_spmm import pallas_block_spmm
+    rng = np.random.default_rng(1)
+    n = 512
+    rows = rng.integers(0, n, size=800)
+    cols = rng.integers(0, n, size=800)
+    vals = rng.normal(size=800).astype(np.float32)
+    op = build_block_op(rows, cols, vals, n, n, 128, 128)
+    x = rng.normal(size=(n, 64)).astype(np.float32)
+    ref = np.asarray(_apply_block_op(op, jnp.asarray(x)))
+    out = np.asarray(pallas_block_spmm(op.blocks, op.in_tile, jnp.asarray(x),
+                                       interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
