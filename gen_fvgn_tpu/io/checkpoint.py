@@ -45,6 +45,21 @@ def load_state(path: str, like: Optional[Any] = None) -> Any:
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
+def save_state_orbax(state: Any, path: str) -> None:
+    """Orbax-backed save (preemption-safe atomic directory writes; the
+    TPU-idiomatic upgrade SURVEY.md §5 calls for). `path` is a directory."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), _to_host(state), force=True)
+    ckptr.wait_until_finished()
+
+
+def load_state_orbax(path: str, like: Any) -> Any:
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), target=_to_host(like))
+
+
 class RotatingCheckpointer:
     """3-slot rotating checkpoint (slot = epoch % keep), matching the
     reference's `index=str(epoch % 3)` policy."""
