@@ -69,18 +69,31 @@ def solve_adam(
     inner_steps: Optional[int] = None,
     lr: Optional[float] = None,
     export_fn: Optional[Callable] = None,
+    max_chunks_per_step: int = 1,
 ):
-    """Instance-optimized time marching (Adam inner loop per step)."""
+    """Instance-optimized time marching (Adam inner loop per step).
+
+    Convergence: after each jitted chunk the (host-read) loss is compared
+    against cfg.residual_tolerance; extra chunks run until the tolerance or
+    `max_chunks_per_step` is hit (parity: the reference checks the residual
+    every inner iteration, solve_with_grad_GPU.py:148-181 — chunking
+    amortizes host syncs without changing the math between checks)."""
+    import numpy as np
     inner_steps = inner_steps or cfg.max_inner_steps
     lr = lr or cfg.lr
     run, opt = make_adam_chunk(cfg, simulator_apply, lr, chunk=inner_steps)
     history = []
     for t in range(n_time_steps):
         opt_state = opt.init(params)
-        params, opt_state, losses, out = run(params, opt_state, norm_state,
-                                             batch)
-        import numpy as np
-        rec = {"step": t, "inner_losses": np.asarray(losses),
+        losses_all = []
+        for _ in range(max_chunks_per_step):
+            params, opt_state, losses, out = run(params, opt_state,
+                                                 norm_state, batch)
+            losses_all.append(np.asarray(losses))
+            if float(losses_all[-1][-1]) < np.log(
+                    max(cfg.residual_tolerance, 1e-30)):
+                break
+        rec = {"step": t, "inner_losses": np.concatenate(losses_all),
                "uvp_node": np.asarray(out.uvp_node_new),
                "uvp_cell": np.asarray(out.uvp_cell_new)}
         history.append(rec)
