@@ -107,3 +107,16 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
                                         "step": np.int32(0)})
     np.testing.assert_array_equal(back["w"], state["w"])
     assert int(back["step"]) == 7
+
+
+def test_vtu_is_valid_xml(tmp_path):
+    import xml.etree.ElementTree as ET
+    mesh = cavity_tri_mesh(3)
+    path = str(tmp_path / "check.vtu")
+    write_vtu_2d(path, mesh["node|pos"], mesh["cells_node"],
+                 mesh["cells_index"],
+                 point_data={"u": np.zeros(mesh["node|pos"].shape[0])})
+    root = ET.parse(path).getroot()
+    assert root.tag == "VTKFile"
+    piece = root.find(".//Piece")
+    assert int(piece.get("NumberOfPoints")) == mesh["node|pos"].shape[0]
