@@ -60,6 +60,8 @@ def main(argv=None):
             mesh["node|pos"], mesh["cells_node"], mesh["cells_index"],
             {"U": uvp_node[0, :n_nodes, 0], "V": uvp_node[0, :n_nodes, 1],
              "P": uvp_node[0, :n_nodes, 2]},
+            face_node=mesh["face|face_node"],
+            neighbour_cell=mesh["face|neighbour_cell"],
             solution_time=float(t))
 
     if args.mode == "rollout":
@@ -104,6 +106,8 @@ def _solve_block(cfg, args):
             mesh["node|pos"], mesh["cells_node"], mesh["cells_index"],
             {"U": uvp_node[0, :n_nodes, 0], "V": uvp_node[0, :n_nodes, 1],
              "P": uvp_node[0, :n_nodes, 2]},
+            face_node=mesh["face|face_node"],
+            neighbour_cell=mesh["face|neighbour_cell"],
             solution_time=float(t))
 
     hist = rollout_block(cfg, state.params, state.norm_state, apply_fn, dyn,

@@ -97,3 +97,12 @@ def test_comsol_parser_sections(poisson_case_dir):
     assert mf["vertices"].shape == (6724, 2)
     assert "quad" in mf and mf["quad"]["elements"].shape == (6561, 4)
     assert "edg" in mf and mf["edg"]["elements"].shape[0] == 324
+
+
+def test_geo_id_range_expansion():
+    """BC.json geo-id lists may contain "7-10" range strings
+    (parity: parse_comsol.py:71-105)."""
+    from gen_fvgn_tpu.meshes.comsol import _expand_geo_ids
+    assert _expand_geo_ids(None) is None
+    assert _expand_geo_ids([1, "3-5", [7, "9-10"]]) == [1, 3, 4, 5, 7, 9, 10]
+    assert _expand_geo_ids(["2-2"]) == [2]
