@@ -110,10 +110,30 @@ def _solve_block(cfg, args):
             neighbour_cell=mesh["face|neighbour_cell"],
             solution_time=float(t))
 
-    hist = rollout_block(cfg, state.params, state.norm_state, apply_fn, dyn,
-                         static, n_steps=args.steps, export_fn=export)
-    print(f"block rollout finished: final cont residual "
-          f"{hist[-1]['loss_cont'][0]:.3e}")
+    if args.mode == "rollout":
+        hist = rollout_block(cfg, state.params, state.norm_state, apply_fn,
+                             dyn, static, n_steps=args.steps,
+                             export_fn=export)
+        print(f"block rollout finished: final cont residual "
+              f"{hist[-1]['loss_cont'][0]:.3e}")
+    elif args.mode == "adam":
+        from gen_fvgn_tpu.solve.instance_opt import solve_adam_block
+        _, hist = solve_adam_block(cfg, state.params, state.norm_state,
+                                   apply_fn, dyn, static,
+                                   n_time_steps=args.steps,
+                                   inner_steps=args.inner_steps,
+                                   export_fn=export)
+        print(f"block adam solve finished: last inner loss "
+              f"{hist[-1]['inner_losses'][-1]:.5f}")
+    else:
+        from gen_fvgn_tpu.solve.instance_opt import solve_lbfgs_block
+        _, hist = solve_lbfgs_block(cfg, state.params, state.norm_state,
+                                    apply_fn, dyn, static,
+                                    n_time_steps=args.steps,
+                                    max_iter=args.inner_steps,
+                                    export_fn=export)
+        print(f"block lbfgs solve finished: last inner loss "
+              f"{hist[-1]['inner_losses'][-1]:.5f}")
 
 
 if __name__ == "__main__":
