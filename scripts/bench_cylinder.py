@@ -63,6 +63,8 @@ def main(argv=None):
               f"cont={curve[-1]['cont']:.3e} mom={curve[-1]['mom']:.3e} "
               f"press={curve[-1]['press']:.3e} "
               f"({curve[-1]['wall_s']:.0f}s)", flush=True)
+        if epoch % 25 == 0 or epoch == args.epochs - 1:
+            json.dump(curve, open(args.out, "w"))   # survive interruptions
     json.dump(curve, open(args.out, "w"))
 
 
