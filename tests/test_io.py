@@ -120,3 +120,24 @@ def test_vtu_is_valid_xml(tmp_path):
     assert root.tag == "VTKFile"
     piece = root.find(".//Piece")
     assert int(piece.get("NumberOfPoints")) == mesh["node|pos"].shape[0]
+
+
+def test_tecplot_async_writer(tmp_path):
+    import time
+    from gen_fvgn_tpu.io.tecplot import write_tecplot_async
+    mesh = cavity_quad_mesh(3)
+    n = mesh["node|pos"].shape[0]
+    path = str(tmp_path / "async.dat")
+    proc = write_tecplot_async(
+        path, pos=mesh["node|pos"], cells_node=mesh["cells_node"],
+        cells_index=mesh["cells_index"], variables={"U": np.ones(n)})
+    proc.wait(timeout=60)
+    assert os.path.exists(path)
+    assert "FEQUADRILATERAL" in open(path).read()
+
+
+def test_profiling_timed():
+    import jax.numpy as jnp
+    from gen_fvgn_tpu.utils.profiling import timed
+    ms = timed(lambda x: x * 2.0, jnp.ones(16), warmup=1, iters=2)
+    assert ms >= 0.0
