@@ -50,3 +50,23 @@ def shard_train_state(state: Any, mesh: Mesh) -> Any:
     """Replicate the train state (params + opt state) on every dp device."""
     sh = replicate_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), state)
+
+
+def shard_block_batch(dyn: Any, mesh: Mesh, batch_size: int,
+                      axis_name: str = "dp") -> Any:
+    """Shard a block-engine DynamicPack over dp: every leaf whose leading
+    axis is the batch axis is split across chips; per-batch scalars and any
+    non-batch leaves (none today) are replicated."""
+    sh = batch_sharding(mesh, axis_name)
+    repl = replicate_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, sh if getattr(x, "ndim", 0) >= 1 and x.shape[0] == batch_size
+            else repl),
+        dyn)
+
+
+def shard_static(static: Any, mesh: Mesh) -> Any:
+    """Replicate a StaticPack (shared operators/geometry) on every chip."""
+    repl = replicate_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), static)
