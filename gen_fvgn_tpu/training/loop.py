@@ -134,6 +134,21 @@ def _train_block(cfg, case_dirs, cases, log_base_dir, seed, n_epochs,
         state = load_state(resume_from, like=state)
     step = make_train_step_block(cfg, apply_fn)
 
+    # data parallelism: dyn batch sharded over the dp mesh, params/opt state
+    # and the per-case StaticPacks replicated (operators are shared weights)
+    mesh = None
+    statics = pool.statics
+    if cfg.dp_devices > 1:
+        from gen_fvgn_tpu.parallel.dp import (make_mesh, shard_block_batch,
+                                              shard_static,
+                                              shard_train_state)
+        if cfg.batch_size % cfg.dp_devices:
+            raise ValueError(f"batch_size {cfg.batch_size} not divisible by "
+                             f"dp_devices {cfg.dp_devices}")
+        mesh = make_mesh(cfg.dp_devices)
+        state = shard_train_state(state, mesh)
+        statics = [shard_static(s, mesh) for s in pool.statics]
+
     if logger is None:
         logger = RunLogger(log_base_dir, cfg, seed=seed)
     ckpt = RotatingCheckpointer(logger.states_dir)
@@ -154,7 +169,9 @@ def _train_block(cfg, case_dirs, cases, log_base_dir, seed, n_epochs,
             payback = i_iter == cfg.max_inner_steps - 1
             for ci, idxs in pool.block_batches(step_seed=train_steps):
                 dyn = pool.gather_block(idxs)
-                state, metrics, uvp_new = step(state, dyn, pool.statics[ci])
+                if mesh is not None:
+                    dyn = shard_block_batch(dyn, mesh, batch_size=len(idxs))
+                state, metrics, uvp_new = step(state, dyn, statics[ci])
                 last_metrics = metrics
                 if payback:
                     pool.payback_block(idxs, uvp_new)

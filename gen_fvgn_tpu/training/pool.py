@@ -251,6 +251,11 @@ class EnvPool:
         import jax.numpy as jnp
         ci = self.envs[int(idxs[0])].case_idx
         local = np.asarray([self._env_local[int(i)] for i in idxs], np.int32)
+        if (hasattr(uvp_new, "sharding")
+                and len(uvp_new.sharding.device_set) > 1):
+            # dp-sharded payback: gather once per inner-loop tail (matches
+            # the reference's one-transfer-per-sequence pattern)
+            uvp_new = np.asarray(uvp_new)
         self._dyn_pools[ci] = self._jit_dyn_payback(
             self._dyn_pools[ci], jnp.asarray(local, jnp.int32), uvp_new)
         for i in idxs:

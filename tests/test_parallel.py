@@ -104,3 +104,31 @@ def test_block_engine_dp_matches_single_device():
     np.testing.assert_allclose(float(m1.loss), float(m8.loss), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(u1), np.asarray(u8), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_block_train_loop_honors_dp_devices(tmp_path):
+    """`train(engine="block", dp_devices=8)` must actually shard — and match
+    the single-device run's losses (DP is exact up to f32 reduction order)."""
+    from gen_fvgn_tpu.training.loop import train
+
+    def run(dp):
+        cfg = Config(batch_size=8, dataset_size=8, mxu_dtype="float32",
+                     hidden_size=32, message_passing_num=1, slice_num=8,
+                     attn_heads=4, max_inner_steps=2, engine="block",
+                     dp_devices=dp)
+        case = synthetic_case(cavity_quad_mesh(5), continuity=1, convection=1,
+                              grad_p=1, mu=0.05, sigma=(1, 1, 1))
+        state = train(cfg, cases=[case], seed=0, n_epochs=2,
+                      log_base_dir=str(tmp_path / f"dp{dp}"), pad_multiple=8)
+        return state
+
+    s1 = run(1)
+    s8 = run(8)
+    # dp run really distributed: replicated params live on all 8 devices
+    leaf = jax.tree_util.tree_leaves(s8.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+    lr = 5e-5
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5 * lr)
