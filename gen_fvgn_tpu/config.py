@@ -50,6 +50,8 @@ class Config:
 
     # dataset
     dataset_dir: str = "datasets/balanced_datasets"
+    export_on_reset: bool = False      # export retiring env solutions on BC re-roll
+                                       # (parity: Graph_loader.py:231-321)
 
     # TPU-specific
     dtype: str = "float32"             # compute dtype for the network

@@ -2,16 +2,21 @@
 
 Parity: reference checkpointing (`Logger.save_state` Logger.py:198-212 +
 `NNmodel.save_checkpoint/load_checkpoint` importer.py:259-313) — model params,
-optimizer state, normalizer running stats, and step counters in one file,
-with a rotating 3-slot index (pre_train_Adam.py:206-212). TPU-idiomatic
-implementation via orbax (preemption-safe atomic writes), with a pickle
-fallback when orbax is unavailable.
+optimizer state, normalizer running stats, and step counters in one slot,
+with a rotating 3-slot index (pre_train_Adam.py:206-212).
+
+TPU-idiomatic implementation: orbax is the DEFAULT backend (preemption-safe
+atomic directory writes, keyed structure-checked restore — a renamed or
+reordered pytree leaf fails loudly instead of restoring into the wrong
+parameter). Pickle remains as a fallback single-file format; its restore is
+also structure-checked via treedef equality.
 """
 
 from __future__ import annotations
 
 import os
 import pickle
+import shutil
 from typing import Any, Optional
 
 import jax
@@ -32,17 +37,25 @@ def save_state(state: Any, path: str) -> None:
 
 
 def load_state(path: str, like: Optional[Any] = None) -> Any:
+    """Restore a checkpoint slot (orbax directory or pickle file).
+
+    With `like`, the restore is structure-checked: the stored tree must have
+    the exact same keyed structure (a renamed/reordered leaf raises instead
+    of silently restoring into the wrong parameter)."""
+    if os.path.isdir(path):
+        return load_state_orbax(path, like)
     with open(path, "rb") as f:
         host = pickle.load(f)
     if like is None:
         return host
-    # restore into the structure of `like` (keeps shardings/dtypes)
-    leaves, treedef = jax.tree_util.tree_flatten(like)
-    new_leaves = jax.tree_util.tree_leaves(host)
-    if len(leaves) != len(new_leaves):
-        raise ValueError("checkpoint structure mismatch: "
-                         f"{len(new_leaves)} leaves vs {len(leaves)}")
-    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+    host_def = jax.tree_util.tree_structure(host)
+    like_def = jax.tree_util.tree_structure(like)
+    if host_def != like_def:
+        raise ValueError(
+            "checkpoint structure mismatch:\n"
+            f"  stored: {host_def}\n  expected: {like_def}")
+    leaves = jax.tree_util.tree_leaves(host)
+    return jax.tree_util.tree_unflatten(like_def, leaves)
 
 
 def save_state_orbax(state: Any, path: str) -> None:
@@ -54,23 +67,40 @@ def save_state_orbax(state: Any, path: str) -> None:
     ckptr.wait_until_finished()
 
 
-def load_state_orbax(path: str, like: Any) -> Any:
+def load_state_orbax(path: str, like: Optional[Any] = None) -> Any:
+    """Keyed restore: orbax matches stored arrays to `like` by pytree path,
+    so structural drift (renamed module, reordered field) fails loudly."""
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(path), target=_to_host(like))
+    target = _to_host(like) if like is not None else None
+    return ckptr.restore(os.path.abspath(path), target=target)
 
 
 class RotatingCheckpointer:
     """3-slot rotating checkpoint (slot = epoch % keep), matching the
-    reference's `index=str(epoch % 3)` policy."""
+    reference's `index=str(epoch % 3)` policy. Default backend is orbax
+    (atomic keyed directories); pickle is the fallback when orbax is
+    unavailable."""
 
-    def __init__(self, states_dir: str, keep: int = 3):
+    def __init__(self, states_dir: str, keep: int = 3,
+                 backend: str = "orbax"):
         self.states_dir = states_dir
         self.keep = keep
+        self.backend = backend
         os.makedirs(states_dir, exist_ok=True)
 
     def save(self, state: Any, epoch: int) -> str:
         path = os.path.join(self.states_dir, f"{epoch % self.keep}.state")
+        if self.backend == "orbax":
+            try:
+                if os.path.isfile(path):
+                    os.remove(path)  # replacing an old pickle slot
+                save_state_orbax(state, path)
+                return path
+            except ImportError:
+                self.backend = "pickle"
+        if os.path.isdir(path):
+            shutil.rmtree(path)  # replacing an old orbax slot
         save_state(state, path)
         return path
 

@@ -92,8 +92,9 @@ def train(
                     pool.payback(idxs, uvp_new)
 
         # BC curriculum: re-roll the oldest environments after payback
+        export_dir = logger.results_dir if cfg.export_on_reset else None
         for _ in range(reset_pending):
-            pool.reset_env()
+            pool.reset_env(export_dir=export_dir)
         reset_pending = 0
 
         state = state.replace(epoch=state.epoch + 1)
@@ -176,8 +177,9 @@ def _train_block(cfg, case_dirs, cases, log_base_dir, seed, n_epochs,
                 if payback:
                     pool.payback_block(idxs, uvp_new)
 
+        export_dir = logger.results_dir if cfg.export_on_reset else None
         for _ in range(reset_pending):
-            pool.reset_env_block()
+            pool.reset_env_block(export_dir=export_dir)
         reset_pending = 0
 
         state = state.replace(epoch=state.epoch + 1)

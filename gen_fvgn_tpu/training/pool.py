@@ -261,10 +261,17 @@ class EnvPool:
         for i in idxs:
             self.envs[int(i)].age += 1
 
-    def reset_env_block(self) -> None:
-        """Oldest-env BC re-roll for the block pool (values only)."""
+    def reset_env_block(self, export_dir: Optional[str] = None) -> None:
+        """Oldest-env BC re-roll for the block pool (values only). With
+        export_dir set, the retiring solution is exported first (parity with
+        the reference's plot-on-reset, Graph_loader.py:231-321)."""
         if not hasattr(self, "_age_order") or len(self._age_order) != len(self.envs):
             self._age_order = list(range(len(self.envs)))
+        if export_dir is not None:
+            try:
+                self.export_env(self._age_order[0], export_dir, tag="_reset")
+            except Exception:
+                pass
         pos = self._age_order.pop(0)
         new_env = self._make_env(self.envs[pos].case, self.envs[pos].case_idx)
         self.envs[pos] = new_env
@@ -333,8 +340,7 @@ class EnvPool:
         env = self.envs[pos]
         mesh = env.case["mesh"]
         n = mesh["node|pos"].shape[0]
-        uvp = self.host_uvp(pos)[:n] if self._device_data is not None else \
-            np.asarray(env.sample.uvp)[:n]
+        uvp = self.host_uvp(pos)[:n]
         path = os.path.join(
             out_dir, f"{env.case['case_name']}{tag}_age{env.age}.dat")
         write_tecplot_zone(
@@ -407,6 +413,9 @@ class EnvPool:
 
     def host_uvp(self, idx: int) -> np.ndarray:
         """Fetch one environment's current state back to host (for export)."""
+        if self.engine == "block":
+            ci = self.envs[idx].case_idx
+            return np.asarray(self._dyn_pools[ci].uvp[self._env_local[idx]])
         if self._device_data is not None:
             return np.asarray(self._device_data.uvp[idx])
         return np.asarray(self.envs[idx].sample.uvp)

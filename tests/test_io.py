@@ -109,6 +109,55 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     assert int(back["step"]) == 7
 
 
+def test_renamed_leaf_restore_fails_loudly(tmp_path):
+    """A renamed pytree leaf must raise on restore, not silently restore
+    into the wrong parameter (positional-zip restore is forbidden)."""
+    import pytest
+
+    state = {"encoder": {"w": np.arange(4.0)}, "b": np.float32(1.0)}
+    renamed = {"decoder": {"w": np.zeros(4)}, "b": np.float32(0.0)}
+
+    # pickle backend
+    p = str(tmp_path / "ck.state")
+    save_state(state, p)
+    with pytest.raises(ValueError, match="structure mismatch"):
+        load_state(p, like=renamed)
+
+    # orbax backend (the default RotatingCheckpointer path)
+    ck = RotatingCheckpointer(str(tmp_path / "states"))
+    slot = ck.save(state, epoch=0)
+    if ck.backend == "orbax":
+        with pytest.raises(Exception):
+            load_state(slot, like=renamed)
+        # and the matching structure restores fine
+        back = load_state(slot, like={"encoder": {"w": np.zeros(4)},
+                                      "b": np.float32(0.0)})
+        np.testing.assert_array_equal(back["encoder"]["w"], np.arange(4.0))
+
+
+def test_export_on_reset_leaves_artifacts(tmp_path):
+    """cfg.export_on_reset: retiring environments write .dat solutions into
+    the run dir during training (parity: Graph_loader.py:231-321)."""
+    import glob
+
+    from gen_fvgn_tpu.meshes.synthetic import synthetic_case
+    from gen_fvgn_tpu.training.loop import train
+
+    case = synthetic_case(cavity_quad_mesh(4), continuity=1, convection=1,
+                          grad_p=1, mu=0.05, sigma=(1, 1, 1))
+    for engine in ("segment", "block"):
+        cfg = Config(batch_size=2, dataset_size=2, hidden_size=16,
+                     message_passing_num=1, slice_num=4, attn_heads=2,
+                     mxu_dtype="float32", max_inner_steps=1,
+                     average_sequence_length=2, engine=engine,
+                     export_on_reset=True)
+        train(cfg, cases=[case], seed=0, n_epochs=3,
+              log_base_dir=str(tmp_path / engine), pad_multiple=8)
+        dats = glob.glob(str(tmp_path / engine / "*" / "*" /
+                             "traing_results" / "*_reset_age*.dat"))
+        assert dats, f"no export-on-reset artifacts for {engine} engine"
+
+
 def test_vtu_is_valid_xml(tmp_path):
     import xml.etree.ElementTree as ET
     mesh = cavity_tri_mesh(3)
