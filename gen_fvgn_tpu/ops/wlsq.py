@@ -45,6 +45,16 @@ _COLUMN_PARITY = jnp.asarray(
 _COLUMN_DEGREE = jnp.asarray(
     [1.0, 1.0, 2.0, 2.0, 2.0, 3.0, 3.0, 3.0, 3.0, 4.0, 4.0, 4.0, 4.0, 4.0])
 
+# Per-axis monomial degrees (ax, ay) of each column — anisotropic scaling.
+# Boundary-layer meshes have dx ≫ dy stencils; a single per-node length
+# leaves the normal matrix with cond ~1e6 there, so each column is scaled
+# by Lx^-ax · Ly^-ay instead (still a diagonal column scaling, so the
+# solve/unscale algebra is unchanged).
+_COLUMN_DEGREE_X = jnp.asarray(
+    [1.0, 0.0, 2.0, 0.0, 1.0, 3.0, 0.0, 2.0, 1.0, 4.0, 3.0, 2.0, 1.0, 0.0])
+_COLUMN_DEGREE_Y = jnp.asarray(
+    [0.0, 1.0, 0.0, 2.0, 1.0, 0.0, 3.0, 1.0, 2.0, 0.0, 1.0, 2.0, 3.0, 4.0])
+
 
 def odd_sign_vector(order: str) -> jnp.ndarray:
     return _COLUMN_PARITY[: WLSQ_DIM[order]]
@@ -52,6 +62,11 @@ def odd_sign_vector(order: str) -> jnp.ndarray:
 
 def column_degrees(order: str) -> jnp.ndarray:
     return _COLUMN_DEGREE[: WLSQ_DIM[order]]
+
+
+def column_degrees_xy(order: str):
+    k = WLSQ_DIM[order]
+    return _COLUMN_DEGREE_X[:k], _COLUMN_DEGREE_Y[:k]
 
 
 def taylor_basis(d: jnp.ndarray, order: str) -> jnp.ndarray:
@@ -121,16 +136,21 @@ def wlsq_moments(
     disp = taylor_basis(d, order)                        # [Es, k]
     wB = w * disp                                        # [Es, k]
 
-    # per-node rms stencil-edge length (both directions see the same |d|)
-    d2 = (norm ** 2)
+    # per-node, PER-AXIS rms stencil displacement (both directions see the
+    # same |dx|, |dy|): anisotropic boundary-layer stencils (dx ≫ dy) keep
+    # an isotropic scaling's normal matrix at cond ~1e6; per-axis scaling
+    # brings it to O(10).
+    d2 = d ** 2                                          # [Es, 2]
     l2 = segment_sum(d2, r, n_nodes, stencil_mask) + \
-        segment_sum(d2, s, n_nodes, stencil_mask)        # [N, 1]
-    ones = jnp.ones_like(d2)
+        segment_sum(d2, s, n_nodes, stencil_mask)        # [N, 2]
+    ones = jnp.ones_like(norm)
     cnt = segment_sum(ones, r, n_nodes, stencil_mask) + \
-        segment_sum(ones, s, n_nodes, stencil_mask)
-    L = jnp.sqrt(l2 / jnp.maximum(cnt, 1.0))             # [N, 1]
+        segment_sum(ones, s, n_nodes, stencil_mask)      # [N, 1]
+    L = jnp.sqrt(l2 / jnp.maximum(cnt, 1.0))             # [N, 2] (Lx, Ly)
     L = jnp.where(L > 0, L, 1.0)
-    colscale = L ** (-column_degrees(order)[None, :])    # [N, k]
+    deg_x, deg_y = column_degrees_xy(order)
+    colscale = (L[:, 0:1] ** (-deg_x[None, :])) * \
+        (L[:, 1:2] ** (-deg_y[None, :]))                 # [N, k]
 
     signs = odd_sign_vector(order)
     cs_r = colscale[r]                                   # [Es, k]
@@ -147,8 +167,17 @@ def wlsq_moments(
     return A, wB, colscale
 
 
+# Ridge added to the row-normalized A: zero for orders 1-2 (the 2x2/5x5
+# systems are full-rank on any valid stencil, and at anisotropic
+# boundary-layer nodes even a 1e-6 ridge costs ~1e-3 gradient error via
+# cond ~1e4); orders 3-4 need it to keep rank-deficient corner stencils
+# (e.g. 8 neighbours vs 9 unknowns) finite.
+_RIDGE = {"1st": 0.0, "2nd": 0.0, "3rd": 1e-6, "4th": 1e-6}
+
+
 def wlsq_solve_matrix(A: np.ndarray, colscale: np.ndarray,
-                      node_mask: Optional[np.ndarray] = None) -> np.ndarray:
+                      node_mask: Optional[np.ndarray] = None,
+                      order: str = "2nd") -> np.ndarray:
     """Fold the per-node WLSQ solve into ONE static matrix (host, float64).
 
     The normal matrix A is geometry-only, so the whole conditioning +
@@ -167,7 +196,7 @@ def wlsq_solve_matrix(A: np.ndarray, colscale: np.ndarray,
     colscale = onp.asarray(colscale, dtype=onp.float64)
     k = A.shape[-1]
     rn = onp.linalg.norm(A, axis=2, keepdims=True)
-    A_n = A / (rn + 1e-8) + 1e-6 * onp.eye(k)[None]
+    A_n = A / (rn + 1e-8) + _RIDGE[order] * onp.eye(k)[None]
     if node_mask is not None:
         m = onp.asarray(node_mask, bool)
         A_n = onp.where(m[:, None, None], A_n, onp.eye(k)[None])
@@ -244,11 +273,11 @@ def node_based_wlsq(
     A_n = A / (row_norms + 1e-8)
     B_n = B / (row_norms + 1e-8)
 
-    # Tiny ridge: after row normalization the rows are O(1), so this is a
-    # ~1e-6 relative perturbation that keeps rank-deficient stencils (e.g.
-    # 8-neighbour corner nodes under a 9-unknown 3rd-order basis) finite
-    # instead of NaN. Orders 1-2 are insensitive to it.
-    A_n = A_n + 1e-6 * jnp.eye(k, dtype=A_n.dtype)[None]
+    # Order-dependent ridge: keeps rank-deficient order-3/4 stencils (e.g.
+    # 8-neighbour corner nodes under a 9-unknown basis) finite instead of
+    # NaN; zero for orders 1-2 where it only costs accuracy (see _RIDGE).
+    if _RIDGE[order]:
+        A_n = A_n + _RIDGE[order] * jnp.eye(k, dtype=A_n.dtype)[None]
 
     if node_mask is not None:
         # padded nodes: replace by identity system so the batched LU stays

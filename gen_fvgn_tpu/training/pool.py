@@ -58,7 +58,8 @@ def prepare_mesh_statics(mesh: Dict[str, np.ndarray], order: str,
     A, wB, colscale = _MOMENTS_CACHE[order](
         mesh["node|pos"].astype(np.float32), stencil.astype(np.int32))
     from gen_fvgn_tpu.ops.wlsq import wlsq_solve_matrix
-    mesh["wlsq_S"] = wlsq_solve_matrix(np.asarray(A), np.asarray(colscale))
+    mesh["wlsq_S"] = wlsq_solve_matrix(np.asarray(A), np.asarray(colscale),
+                                       order=order)
     mesh["wlsq_B"] = np.asarray(wB, dtype=np.float32)
     mesh["wlsq_scale"] = np.asarray(colscale, dtype=np.float32)
     return mesh

@@ -47,12 +47,13 @@ def test_dp_matches_single_device(setup):
     np.testing.assert_allclose(np.asarray(u1), np.asarray(u8),
                                rtol=1e-4, atol=1e-5)
     # parameters after update agree up to Adam's amplification of f32
-    # reduction-order noise on ~zero gradients (update magnitude ≤ lr)
+    # reduction-order noise: on a ~zero gradient element the first Adam
+    # update is ±lr, so a reduction-order sign flip shows as a 2·lr diff
     p1 = jax.tree_util.tree_leaves(s1.params)
     p8 = jax.tree_util.tree_leaves(s8.params)
     for a, b in zip(p1, p8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-3, atol=1.2 * cfg.lr)
+                                   rtol=1e-3, atol=2.2 * cfg.lr)
 
 
 def test_output_sharding_follows_batch(setup):
