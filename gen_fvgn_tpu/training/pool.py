@@ -91,10 +91,21 @@ def load_case(case_dir: str, order: str = "2nd") -> Dict:
         mesh = read_mesh_h5(os.path.join(case_dir, h5s[0]))
     else:
         mphtxt = [f for f in os.listdir(case_dir) if f.endswith(".mphtxt")]
-        if not mphtxt:
-            raise FileNotFoundError(f"{case_dir}: no .h5 or .mphtxt mesh")
-        mesh = compile_mesh(
-            comsol_to_mesh(os.path.join(case_dir, mphtxt[0]), bc))
+        dats = [f for f in os.listdir(case_dir) if f.endswith(".dat")]
+        if mphtxt:
+            mesh = compile_mesh(
+                comsol_to_mesh(os.path.join(case_dir, mphtxt[0]), bc))
+        elif dats:
+            # Tecplot FE-polygon case (e.g. cylinder_flow_poly): convert in
+            # place (parity: the reference feeds these straight through
+            # parse_tecplot.py:639-652)
+            from gen_fvgn_tpu.meshes.tecplot import tecplot_to_mesh
+            case_name = os.path.basename(os.path.abspath(case_dir))
+            mesh = compile_mesh(
+                tecplot_to_mesh(os.path.join(case_dir, dats[0]), case_name))
+        else:
+            raise FileNotFoundError(
+                f"{case_dir}: no .h5, .mphtxt, or .dat mesh")
     mesh = prepare_mesh_statics(mesh, order, k_hop=int(bc.get("stencil|khops", 2)))
     return {
         "mesh": mesh,
