@@ -34,7 +34,11 @@ def _range_list(spec) -> List[float]:
 
 @dataclass(frozen=True)
 class ThetaSample:
-    """One sampled PDE instance: the physical coefficients of a combination."""
+    """One sampled PDE instance: the physical coefficients of a combination.
+
+    source_frequency / source_strength parameterize the wave family's
+    Gaussian point pressure source (reference Set_BC.py:68-113; validity
+    rules README.md:188-206 — they must be 0 for NS/Poisson)."""
     mean_u: float
     rho: float
     mu: float
@@ -42,6 +46,8 @@ class ThetaSample:
     aoa: float
     dt: float
     L: float
+    source_frequency: float = 0.0
+    source_strength: float = 0.0
 
     @property
     def Re(self) -> float:
@@ -60,17 +66,23 @@ def generate_theta_combinations(theta_pde: dict) -> List[ThetaSample]:
     mu_list = _range_list(theta_pde["mu"])
     source_list = _range_list(theta_pde["source"])
     aoa_list = _range_list(theta_pde["aoa"])
+    freq_list = _range_list(theta_pde.get("source_frequency", [0, 0, 0]))
+    strength_list = _range_list(theta_pde.get("source_strength", [0, 0, 0]))
     dt_spec = theta_pde["dt"]
     L = float(theta_pde["L"])
     re_max = float(theta_pde["Re_max"])
     re_min = float(theta_pde["Re_min"])
+    is_wave = any(f != 0 for f in freq_list)
 
     out: List[ThetaSample] = []
-    for u, rho, mu, src, aoa in itertools.product(
-            u_list, rho_list, mu_list, source_list, aoa_list):
+    for u, rho, mu, src, aoa, freq, strength in itertools.product(
+            u_list, rho_list, mu_list, source_list, aoa_list,
+            freq_list, strength_list):
         rho_eff = rho if rho != 0.0 else 1.0
         re = (u * rho_eff * L) / mu if mu != 0 else 0.0
-        if not (re_min <= re <= re_max):
+        # the wave family has mu = 0 (README.md:188-206), so the Re window
+        # cannot apply; every sampled (frequency, strength) pair is valid
+        if not is_wave and not (re_min <= re <= re_max):
             continue
         if dt_spec == "1/Re":
             dt = 1.0 / re
@@ -78,7 +90,7 @@ def generate_theta_combinations(theta_pde: dict) -> List[ThetaSample]:
             dt = float(dt_spec)
         else:
             raise ValueError(f"BC.json dt must be a number or '1/Re', got {dt_spec!r}")
-        out.append(ThetaSample(u, rho, mu, src, aoa, dt, L))
+        out.append(ThetaSample(u, rho, mu, src, aoa, dt, L, freq, strength))
 
     if not out:
         raise ValueError("no valid θ_PDE combination satisfies the Re bounds; "

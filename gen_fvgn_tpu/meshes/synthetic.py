@@ -106,3 +106,34 @@ def synthetic_case(mesh: Dict[str, np.ndarray], unsteady=0, continuity=0,
         "combos": generate_theta_combinations(bc["theta_PDE"]),
         "case_name": name,
     }
+
+
+def wave_case(mesh: Dict[str, np.ndarray], source_frequency=(2.0, 2.0, 2.0),
+              source_strength=(5.0, 5.0, 5.0), dt=0.05,
+              name="synthetic_wave") -> Dict:
+    """Wave-equation case: closed reflecting cavity, zero inlet profile, and
+    a Gaussian point pressure source at the domain center injected every
+    outer time step (reference Set_BC.py:68-113 + Graph_loader.py:323-363;
+    validity rules README.md:188-206: continuity/grad_p/rho > 0,
+    convection = mu = source = 0)."""
+    from gen_fvgn_tpu.meshes.bc import generate_theta_combinations
+    bc = {
+        "theta_PDE": {
+            "unsteady": 1, "continuity": 1, "convection": 0, "grad_p": 1,
+            "inlet": [1, 1, 1], "rho": [1, 1, 1], "mu": [0, 0, 0],
+            "source": [0, 0, 0], "aoa": [0, 0, 0],
+            "source_frequency": list(source_frequency),
+            "source_strength": list(source_strength),
+            "dt": dt, "L": 1, "Re_max": 1e9, "Re_min": 0,
+        },
+        "sigma": [1.0, 1.0, 1.0],
+        "inlet_type": None,
+        "init_field_type": None,
+        "stencil|khops": 2,
+    }
+    return {
+        "mesh": mesh,
+        "bc": bc,
+        "combos": generate_theta_combinations(bc["theta_PDE"]),
+        "case_name": name,
+    }

@@ -97,6 +97,10 @@ def train(
             pool.reset_env(export_dir=export_dir)
         reset_pending = 0
 
+        # wave family: inject the point pressure source for the next step
+        if pool.has_wave_envs():
+            pool.inject_wave_sources()
+
         state = state.replace(epoch=state.epoch + 1)
 
         if last_metrics is not None and (epoch % progress_every == 0):
@@ -181,6 +185,9 @@ def _train_block(cfg, case_dirs, cases, log_base_dir, seed, n_epochs,
         for _ in range(reset_pending):
             pool.reset_env_block(export_dir=export_dir)
         reset_pending = 0
+
+        if pool.has_wave_envs():
+            pool.inject_wave_sources()
 
         state = state.replace(epoch=state.epoch + 1)
 

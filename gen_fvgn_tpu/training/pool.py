@@ -423,6 +423,54 @@ class EnvPool:
                 uvp=np.asarray(uvp_new[row], dtype=np.float32))
             env.age += 1
 
+    def has_wave_envs(self) -> bool:
+        return any(e.theta_sample.source_frequency != 0 for e in self.envs)
+
+    def inject_wave_sources(self) -> None:
+        """Add each wave environment's Gaussian point pressure source signal
+        to its pooled p channel for the CURRENT time step (parity:
+        Graph_loader.py:323-363 `update_env` — `wave_uvp_on_node[:, 2:3] +=
+        source_pressure_node` every outer step). Called once per epoch by
+        the train loops; no-op for NS/Poisson environments."""
+        import jax.numpy as jnp
+        from gen_fvgn_tpu.graph.physics import pressure_point_source
+
+        if not hasattr(self, "_jit_wave_add"):
+            def _add(data, idx, signal):
+                return data.replace(
+                    uvp=data.uvp.at[idx, :, 2].add(signal))
+            import jax
+            self._jit_wave_add = jax.jit(_add, donate_argnums=(0,))
+
+        for i, env in enumerate(self.envs):
+            ts = env.theta_sample
+            if ts.source_frequency == 0:
+                continue
+            pos = env.case["mesh"]["node|pos"].astype(np.float32)
+            center = pos.mean(axis=0)
+            time_index = env.age + 1                      # must be >= 1
+            signal = pressure_point_source(
+                pos, center, ts.source_frequency, ts.source_strength,
+                ts.dt, time_index).reshape(-1).astype(np.float32)
+            if self.engine == "block":
+                ci = env.case_idx
+                n_pad = self._dyn_pools[ci].uvp.shape[1]
+                sig = np.zeros(n_pad, np.float32)
+                sig[: signal.shape[0]] = signal
+                self._dyn_pools[ci] = self._jit_wave_add(
+                    self._dyn_pools[ci], np.int32(self._env_local[i]),
+                    jnp.asarray(sig))
+            elif self._device_data is not None:
+                n_pad = self._device_data.uvp.shape[1]
+                sig = np.zeros(n_pad, np.float32)
+                sig[: signal.shape[0]] = signal
+                self._device_data = self._jit_wave_add(
+                    self._device_data, np.int32(i), jnp.asarray(sig))
+            else:
+                uvp = np.asarray(env.sample.uvp).copy()
+                uvp[: signal.shape[0], 2] += signal
+                env.sample = env.sample.replace(uvp=uvp)
+
     def host_uvp(self, idx: int) -> np.ndarray:
         """Fetch one environment's current state back to host (for export)."""
         if self.engine == "block":
