@@ -44,7 +44,10 @@ class NodeBlockB(nn.Module):
         agg = apply_linop(ops.scat_r, half_a) + \
             apply_linop(ops.scat_s, half_b)              # [N, h/2]
         nbr_sum = apply_linop(ops.adj, agg)
-        nbr_avg = nbr_sum / jnp.maximum(ops.deg, 1.0)
+        # keep the bf16 stream bf16: an f32 promotion here doubles the
+        # bytes of a bandwidth-bound tensor
+        inv_deg = (1.0 / jnp.maximum(ops.deg, 1.0)).astype(nbr_sum.dtype)
+        nbr_avg = nbr_sum * inv_deg
         return Mlp(self.hidden_size, self.hidden_size, dtype=self.dtype,
                    name="node_mlp")(
             jnp.concatenate([nbr_avg, node_x], axis=-1))

