@@ -28,9 +28,10 @@ class EdgeBlockB(nn.Module):
         agg = apply_linop(ops.adj, node_x)               # neighbour sum
         agg_s = apply_linop(ops.gather_s, agg)
         agg_r = apply_linop(ops.gather_r, agg)
-        collected = jnp.concatenate([agg_s, agg_r, edge_attr], axis=-1)
+        # parts tuple: the fused MLP kernel consumes them without ever
+        # materializing the [E, 3h] concatenation in HBM
         return Mlp(self.hidden_size, self.hidden_size, dtype=self.dtype,
-                   name="edge_mlp")(collected)
+                   name="edge_mlp")((agg_s, agg_r, edge_attr))
 
 
 class NodeBlockB(nn.Module):
@@ -49,8 +50,7 @@ class NodeBlockB(nn.Module):
         inv_deg = (1.0 / jnp.maximum(ops.deg, 1.0)).astype(nbr_sum.dtype)
         nbr_avg = nbr_sum * inv_deg
         return Mlp(self.hidden_size, self.hidden_size, dtype=self.dtype,
-                   name="node_mlp")(
-            jnp.concatenate([nbr_avg, node_x], axis=-1))
+                   name="node_mlp")((nbr_avg, node_x))
 
 
 class GnBlockB(nn.Module):

@@ -4,16 +4,46 @@ Parity: reference `src/FVMmodel/Models/FVGN/EPD.py` `build_mlp` :10-33 and
 `build_mlp_from_num_layer` :36-63 — 2-hidden-layer GELU MLPs with optional
 trailing LayerNorm, truncated-normal(0.02) weight init, zero bias
 (importer.py:45-52).
+
+Params are declared explicitly (same tree as the original nn.Dense stack —
+hidden_i/{kernel,bias}, out/{kernel,bias}, ln/{scale,bias}) so the compute
+can dispatch between the layer-by-layer path and the fused Pallas
+MLP+LayerNorm kernel (ops/fused_mlp.py) without changing checkpoints. The
+fused kernel runs in bfloat16 mode on the standard 2-hidden-layer + LN
+shape; everything else (f32 parity/equivalence suites, the decoder) uses
+the unfused path.
 """
 
 from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 TRUNC_INIT = nn.initializers.truncated_normal(stddev=0.02)
+
+# Fused-kernel dispatch switch (module-level so benches/tests can toggle).
+_FUSED_ENABLED = True
+
+
+def use_fused_mlp(enabled: bool = True) -> None:
+    global _FUSED_ENABLED
+    _FUSED_ENABLED = enabled
+
+
+class _DenseParams(nn.Module):
+    """Parameter-only twin of nn.Dense — identical param tree."""
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", TRUNC_INIT,
+                            (self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
 
 
 class Mlp(nn.Module):
@@ -24,24 +54,67 @@ class Mlp(nn.Module):
     dtype: Optional[jnp.dtype] = None   # activation/matmul dtype (bf16 capable)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        dense = lambda feat, name: nn.Dense(
-            feat, kernel_init=TRUNC_INIT, bias_init=nn.initializers.zeros,
-            dtype=self.dtype, name=name)
+    def __call__(self, x) -> jnp.ndarray:
+        """x: array, or a tuple of arrays treated as concat(x, axis=-1) —
+        the fused kernel consumes the parts directly so the concatenation
+        never materializes in HBM."""
+        parts = tuple(x) if isinstance(x, (tuple, list)) else (x,)
+        k_total = sum(p.shape[-1] for p in parts)
+        in_feats = [k_total] + [self.hidden_size] * self.num_hidden_layers
+        hidden = [
+            _DenseParams(in_feats[i], self.hidden_size, name=f"hidden_{i}")()
+            for i in range(self.num_hidden_layers)]
+        w_out, b_out = _DenseParams(in_feats[-1], self.out_size, name="out")()
+        ln = _LnParams(self.out_size, name="ln")() if self.layer_norm else None
+
+        dt = self.dtype
+        if (dt == jnp.bfloat16 and _FUSED_ENABLED and ln is not None
+                and self.num_hidden_layers == 2 and parts[0].ndim == 2
+                and self.hidden_size % 128 == 0 and self.out_size % 128 == 0):
+            from gen_fvgn_tpu.ops.fused_mlp import fused_mlp_ln_parts
+            (w1, b1), (w2, b2) = hidden
+            return fused_mlp_ln_parts(parts, w1, b1, w2, b2, w_out, b_out,
+                                      ln[0], ln[1], dtype=dt)
+
+        x = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+
+        def dense(h, w, b):
+            if dt is not None:
+                h, w, b = h.astype(dt), w.astype(dt), b.astype(dt)
+            return h @ w + b
+
         h = x
-        for i in range(self.num_hidden_layers):
-            h = nn.gelu(dense(self.hidden_size, f"hidden_{i}")(h))
-        h = dense(self.out_size, "out")(h)
-        if self.layer_norm:
-            # In bf16 mode the whole step is HBM-bandwidth-bound (~420 GB/s
-            # on the bench chip), so LayerNorm keeps the stream bf16 — an
-            # f32 round trip here doubles the bytes of every MLP output.
-            # Stats are still computed in f32 (flax upcasts internally);
-            # f32 mode keeps the fully-f32 LN for the parity/equivalence
-            # suites.
-            if self.dtype == jnp.bfloat16:
-                h = nn.LayerNorm(dtype=self.dtype, name="ln")(h)
+        for w, b in hidden:
+            h = nn.gelu(dense(h, w, b))
+        h = dense(h, w_out, b_out)
+        if ln is not None:
+            if dt == jnp.bfloat16:
+                # bf16 stream: the step is HBM-bound, an f32 round trip here
+                # doubles the bytes of every MLP output (stats still f32)
+                h = _layer_norm(h, ln[0], ln[1], out_dtype=dt)
             else:
-                h = nn.LayerNorm(dtype=jnp.float32, name="ln")(
-                    h.astype(jnp.float32))
+                h = _layer_norm(h.astype(jnp.float32), ln[0], ln[1],
+                                out_dtype=jnp.float32)
         return h
+
+
+class _LnParams(nn.Module):
+    """Parameter-only twin of nn.LayerNorm."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
+def _layer_norm(h, scale, bias, out_dtype, eps: float = 1e-6):
+    """flax-equivalent LayerNorm (fast variance, f32 statistics)."""
+    h32 = h.astype(jnp.float32)
+    mu = jnp.mean(h32, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(h32 * h32, axis=-1, keepdims=True) - mu * mu,
+                      0.0)
+    out = (h32 - mu) * jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32) \
+        + bias.astype(jnp.float32)
+    return out.astype(out_dtype)

@@ -1,0 +1,288 @@
+"""Fused 2-hidden-layer GELU MLP + LayerNorm as a single Pallas TPU kernel.
+
+Why: the train step is HBM-bandwidth-bound (~420 GB/s sustained on the bench
+chip), and the backbone's MLPs dominate its traffic. Unfused, every Dense /
+GELU / LayerNorm round-trips its [M, 128] operand through HBM — ~1280 bytes
+per row for the 384→128→128→128+LN chain. Fused, one kernel reads the input
+tile once, keeps h1/h2/y in VMEM, and writes only the normalized output.
+
+The kernel takes the first layer's input as PARTS (the GraphNet blocks feed
+`concat([agg_s, agg_r, edge_attr])`-style inputs): W1·concat(parts) =
+Σ W1ᵢ·partᵢ, so the concatenation never materializes in HBM — without this
+the concat write+read cancels the fusion win (measured: a wash).
+
+Forward: y = LN(W3·gelu(W2·gelu(Σ W1ᵢxᵢ + b1) + b2) + b3) with flax
+semantics (tanh-approximate GELU, fast-variance LayerNorm, f32 stats,
+bf16 stream).
+
+Backward: a second kernel recomputes the forward per M-tile in VMEM (remat
+is free — the backward is bandwidth-bound too) and emits per-tile PARTIAL
+dW/db/dγ/dβ sums while streaming per-part dx; the partials are reduced with
+one jnp.sum outside. Per-tile partials (not cross-grid accumulation) keep
+the kernel correct under jax.vmap's pallas batching rule, which prepends a
+batch grid dimension.
+
+All refs are ≥2-D (TPU lowering constraint for batched 1-D outputs). Part
+widths must be lane-aligned (%128) or equal to the full array dim; M must
+be a TILE_M multiple (the block engine pads to 256 by construction). On
+non-TPU backends `interpret=True` keeps the same code path testable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_M = 512
+_SQRT_2_OVER_PI = 0.7978845608028654
+_GELU_C = 0.044715
+LN_EPS = 1e-6  # flax.linen.LayerNorm default epsilon
+
+
+def _gelu_tanh(x):
+    """tanh-approximate GELU (flax nn.gelu default), f32 in/out."""
+    u = _SQRT_2_OVER_PI * (x + _GELU_C * x * x * x)
+    return 0.5 * x * (1.0 + jnp.tanh(u))
+
+
+def _gelu_tanh_grad(x):
+    """d/dx of tanh-approximate GELU, f32."""
+    u = _SQRT_2_OVER_PI * (x + _GELU_C * x * x * x)
+    t = jnp.tanh(u)
+    du = _SQRT_2_OVER_PI * (1.0 + 3.0 * _GELU_C * x * x)
+    return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * du
+
+
+def _fwd_core(parts, w1s, b1, w2, b2, w3, b3):
+    """Forward chain: h1pre = Σ xᵢ·W1ᵢ + b1 (f32 accumulation)."""
+    h1pre = b1
+    for xp, w1p in zip(parts, w1s):
+        h1pre = h1pre + jnp.dot(xp, w1p, preferred_element_type=jnp.float32)
+    h1 = _gelu_tanh(h1pre)
+    dt = parts[0].dtype
+    h2pre = jnp.dot(h1.astype(dt), w2,
+                    preferred_element_type=jnp.float32) + b2
+    h2 = _gelu_tanh(h2pre)
+    y = jnp.dot(h2.astype(dt), w3, preferred_element_type=jnp.float32) + b3
+    return h1pre, h1, h2pre, h2, y
+
+
+def _ln_stats(y):
+    """flax fast-variance LayerNorm statistics in f32."""
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(y * y, axis=-1, keepdims=True) - mu * mu, 0.0)
+    rstd = jax.lax.rsqrt(var + LN_EPS)
+    return mu, rstd
+
+
+def _make_fwd_kernel(n_parts: int):
+    def kernel(*refs):
+        parts = [r[:] for r in refs[:n_parts]]
+        w1s = [r[:] for r in refs[n_parts:2 * n_parts]]
+        b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, g_ref, be_ref, out_ref = \
+            refs[2 * n_parts:]
+        _, _, _, _, y = _fwd_core(
+            parts, w1s, b1_ref[:].astype(jnp.float32),
+            w2_ref[:], b2_ref[:].astype(jnp.float32),
+            w3_ref[:], b3_ref[:].astype(jnp.float32))
+        mu, rstd = _ln_stats(y)
+        out = (y - mu) * rstd * g_ref[:].astype(jnp.float32) \
+            + be_ref[:].astype(jnp.float32)
+        out_ref[:] = out.astype(out_ref.dtype)
+    return kernel
+
+
+def _make_bwd_kernel(n_parts: int):
+    def kernel(*refs):
+        parts = [r[:] for r in refs[:n_parts]]
+        w1s = [r[:] for r in refs[n_parts:2 * n_parts]]
+        (b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, g_ref, dout_ref) = \
+            refs[2 * n_parts:2 * n_parts + 7]
+        outs = refs[2 * n_parts + 7:]
+        dx_refs = outs[:n_parts]
+        pdw1_refs = outs[n_parts:2 * n_parts]
+        (pdb1_ref, pdw2_ref, pdb2_ref, pdw3_ref, pdb3_ref, pdg_ref,
+         pdbe_ref) = outs[2 * n_parts:]
+
+        gamma = g_ref[:].astype(jnp.float32)                 # [1, D]
+        h1pre, h1, h2pre, h2, y = _fwd_core(
+            parts, w1s, b1_ref[:].astype(jnp.float32),
+            w2_ref[:], b2_ref[:].astype(jnp.float32),
+            w3_ref[:], b3_ref[:].astype(jnp.float32))
+        mu, rstd = _ln_stats(y)
+        xhat = (y - mu) * rstd                               # [T, D]
+        g = dout_ref[:].astype(jnp.float32)
+
+        pdg_ref[0] = jnp.sum(g * xhat, axis=0, keepdims=True)
+        pdbe_ref[0] = jnp.sum(g, axis=0, keepdims=True)
+
+        # LayerNorm backward: dy = rstd*(gx - mean(gx) - xhat*mean(gx*xhat))
+        gx = g * gamma
+        m1 = jnp.mean(gx, axis=-1, keepdims=True)
+        m2 = jnp.mean(gx * xhat, axis=-1, keepdims=True)
+        dy = rstd * (gx - m1 - xhat * m2)                    # [T, D]
+
+        dt = parts[0].dtype
+        dy16 = dy.astype(dt)
+        pdw3_ref[0] = jnp.dot(h2.astype(dt).T, dy16,
+                              preferred_element_type=jnp.float32)
+        pdb3_ref[0] = jnp.sum(dy, axis=0, keepdims=True)
+        dh2 = jnp.dot(dy16, w3_ref[:].T, preferred_element_type=jnp.float32)
+        dh2pre = dh2 * _gelu_tanh_grad(h2pre)
+        dh2pre16 = dh2pre.astype(dt)
+        pdw2_ref[0] = jnp.dot(h1.astype(dt).T, dh2pre16,
+                              preferred_element_type=jnp.float32)
+        pdb2_ref[0] = jnp.sum(dh2pre, axis=0, keepdims=True)
+        dh1 = jnp.dot(dh2pre16, w2_ref[:].T,
+                      preferred_element_type=jnp.float32)
+        dh1pre = dh1 * _gelu_tanh_grad(h1pre)
+        dh1pre16 = dh1pre.astype(dt)
+        pdb1_ref[0] = jnp.sum(dh1pre, axis=0, keepdims=True)
+        for xp, w1p, dx_ref, pdw1_ref in zip(parts, w1s, dx_refs, pdw1_refs):
+            pdw1_ref[0] = jnp.dot(xp.T, dh1pre16,
+                                  preferred_element_type=jnp.float32)
+            dx_ref[:] = jnp.dot(dh1pre16, w1p.T,
+                                preferred_element_type=jnp.float32
+                                ).astype(dx_ref.dtype)
+    return kernel
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _const_spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
+
+
+def _tile_spec(cols):
+    return pl.BlockSpec((TILE_M, cols), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _part_spec(a, b):
+    return pl.BlockSpec((1, a, b), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def fused_mlp_ln(parts, w1s, b1, w2, b2, w3, b3, gamma, beta):
+    """parts: tuple of [M, kᵢ]; w1s: tuple of [kᵢ, H]; biases/γ/β [1, ·].
+    Returns LN(MLP(concat(parts))) [M, D]."""
+    out, _ = _fused_fwd(parts, w1s, b1, w2, b2, w3, b3, gamma, beta)
+    return out
+
+
+def _fused_fwd(parts, w1s, b1, w2, b2, w3, b3, gamma, beta):
+    n_parts = len(parts)
+    m = parts[0].shape[0]
+    h = w2.shape[0]
+    d = w3.shape[1]
+    grid = (m // TILE_M,)
+    out = pl.pallas_call(
+        _make_fwd_kernel(n_parts),
+        grid=grid,
+        in_specs=(
+            [_tile_spec(p.shape[1]) for p in parts]
+            + [_const_spec(w.shape) for w in w1s]
+            + [_const_spec((1, h)), _const_spec((h, h)), _const_spec((1, h)),
+               _const_spec((h, d)), _const_spec((1, d)),
+               _const_spec((1, d)), _const_spec((1, d))]),
+        out_specs=_tile_spec(d),
+        out_shape=jax.ShapeDtypeStruct((m, d), parts[0].dtype),
+        interpret=_interpret(),
+    )(*parts, *w1s, b1, w2, b2, w3, b3, gamma, beta)
+    return out, (parts, w1s, b1, w2, b2, w3, b3, gamma)
+
+
+def _fused_bwd(res, g):
+    parts, w1s, b1, w2, b2, w3, b3, gamma = res
+    n_parts = len(parts)
+    m = parts[0].shape[0]
+    h = w2.shape[0]
+    d = w3.shape[1]
+    n_tiles = m // TILE_M
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        _make_bwd_kernel(n_parts),
+        grid=(n_tiles,),
+        in_specs=(
+            [_tile_spec(p.shape[1]) for p in parts]
+            + [_const_spec(w.shape) for w in w1s]
+            + [_const_spec((1, h)), _const_spec((h, h)), _const_spec((1, h)),
+               _const_spec((h, d)), _const_spec((1, d)), _const_spec((1, d))]
+            + [_tile_spec(d)]),
+        out_specs=(
+            [_tile_spec(p.shape[1]) for p in parts]
+            + [_part_spec(w.shape[0], h) for w in w1s]
+            + [_part_spec(1, h), _part_spec(h, h), _part_spec(1, h),
+               _part_spec(h, d), _part_spec(1, d),
+               _part_spec(1, d), _part_spec(1, d)]),
+        out_shape=(
+            [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in parts]
+            + [jax.ShapeDtypeStruct((n_tiles,) + w.shape, f32) for w in w1s]
+            + [jax.ShapeDtypeStruct((n_tiles, 1, h), f32),
+               jax.ShapeDtypeStruct((n_tiles, h, h), f32),
+               jax.ShapeDtypeStruct((n_tiles, 1, h), f32),
+               jax.ShapeDtypeStruct((n_tiles, h, d), f32),
+               jax.ShapeDtypeStruct((n_tiles, 1, d), f32),
+               jax.ShapeDtypeStruct((n_tiles, 1, d), f32),
+               jax.ShapeDtypeStruct((n_tiles, 1, d), f32)]),
+        interpret=_interpret(),
+    )(*parts, *w1s, b1, w2, b2, w3, b3, gamma, g)
+    dxs = tuple(outs[:n_parts])
+    pdw1s = outs[n_parts:2 * n_parts]
+    pdb1, pdw2, pdb2, pdw3, pdb3, pdg, pdbe = outs[2 * n_parts:]
+    cast = lambda t, like: t.astype(like.dtype)
+    return (dxs,
+            tuple(cast(p.sum(0), w) for p, w in zip(pdw1s, w1s)),
+            cast(pdb1.sum(0), b1), cast(pdw2.sum(0), w2),
+            cast(pdb2.sum(0), b2), cast(pdw3.sum(0), w3),
+            cast(pdb3.sum(0), b3), cast(pdg.sum(0), gamma),
+            cast(pdbe.sum(0), gamma))
+
+
+fused_mlp_ln.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_mlp_ln_parts(parts: Sequence[jnp.ndarray], w1, b1, w2, b2, w3, b3,
+                       gamma, beta, dtype=jnp.bfloat16):
+    """Dispatch wrapper for the model code.
+
+    `w1` is the FULL first-layer kernel [(Σkᵢ), H] from the checkpoint tree;
+    it is row-sliced per part here (compile-time). Parts whose width is not
+    lane-aligned are zero-padded along K together with their W1 slice. M is
+    zero-padded to a TILE_M multiple. All pads are static."""
+    widths = [p.shape[1] for p in parts]
+    offs = [0]
+    for w in widths:
+        offs.append(offs[-1] + w)
+    m = parts[0].shape[0]
+    m_pad = ((m + TILE_M - 1) // TILE_M) * TILE_M
+
+    parts16, w1s = [], []
+    for i, p in enumerate(parts):
+        w1p = w1[offs[i]:offs[i + 1]].astype(dtype)
+        k = widths[i]
+        k_ok = (k % 128 == 0) or (k < 128)
+        if not k_ok:
+            k_pad = ((k + 127) // 128) * 128
+            p = jnp.pad(p, ((0, 0), (0, k_pad - k)))
+            w1p = jnp.pad(w1p, ((0, k_pad - k), (0, 0)))
+        p = p.astype(dtype)
+        if m_pad != m:
+            p = jnp.pad(p, ((0, m_pad - m), (0, 0)))
+        parts16.append(p)
+        w1s.append(w1p)
+
+    row = lambda v: v.reshape(1, -1)
+    out = fused_mlp_ln(tuple(parts16), tuple(w1s), row(b1),
+                       w2.astype(dtype), row(b2), w3.astype(dtype), row(b3),
+                       row(gamma), row(beta))
+    return out[:m] if m_pad != m else out
