@@ -127,10 +127,13 @@ def _apply_block_op(op: BlockOp, x: jnp.ndarray) -> jnp.ndarray:
     """x [n_in, F] -> [n_out, F] (F may itself be a flattened feature pack).
 
     bf16 blocks cast the operand to bf16 for the MXU (f32 accumulation)."""
-    if _USE_PALLAS and x.ndim == 2 and x.shape[1] % 128 == 0 \
-            and op.blocks.dtype == jnp.float32:
+    if _USE_PALLAS and x.ndim == 2 and x.shape[1] % 128 == 0:
         from gen_fvgn_tpu.ops.pallas_spmm import pallas_block_spmm
-        return pallas_block_spmm(op.blocks, op.in_tile, x)
+        pet = (jnp.bfloat16 if (x.dtype == jnp.bfloat16
+                                and op.blocks.dtype == jnp.bfloat16)
+               else jnp.float32)
+        xin = x.astype(jnp.bfloat16) if op.blocks.dtype == jnp.bfloat16 else x
+        return pallas_block_spmm(op.blocks, op.in_tile, xin, out_dtype=pet)
     n_ti = x.shape[0] // op.tile_in
     xt = x.reshape(n_ti, op.tile_in, -1)
     if op.blocks.dtype == jnp.bfloat16:

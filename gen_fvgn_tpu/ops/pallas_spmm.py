@@ -35,9 +35,10 @@ def _spmm_kernel(in_tile_ref, blocks_ref, x_ref, out_ref):
         preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
 def pallas_block_spmm(blocks: jnp.ndarray, in_tile: jnp.ndarray,
-                      x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+                      x: jnp.ndarray, interpret: bool = False,
+                      out_dtype=jnp.float32) -> jnp.ndarray:
     """out [nTo*To, F] = Σ_k blocks[i, k] @ x_tiles[in_tile[i, k]].
 
     blocks: [nTo, K, To, Ti]; in_tile: [nTo, K] int32; x: [nTi*Ti, F].
@@ -61,7 +62,7 @@ def pallas_block_spmm(blocks: jnp.ndarray, in_tile: jnp.ndarray,
     out = pl.pallas_call(
         _spmm_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_to * t_out, f), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_to * t_out, f), out_dtype),
         interpret=interpret,
     )(in_tile, blocks, xt)
     return out
