@@ -59,6 +59,9 @@ class Config:
     dp_devices: int = 1                # data-parallel shard count of the batch axis
     engine: str = "segment"            # {"segment", "block"} sparse-op engine
     tile: int = 256                    # block-engine dense tile size
+    bucket_tiers: bool = False         # segment engine: per-size padding tiers
+                                       # (batches stay within a tier) instead of
+                                       # one bucket padded to the largest case
 
     @property
     def edge_input_size(self) -> int:

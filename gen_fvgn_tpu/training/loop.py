@@ -50,10 +50,11 @@ def train(
                             progress_every, logger)
 
     pool = EnvPool(case_dirs, cfg, seed=seed, pad_multiple=pad_multiple,
-                   cases=cases, device_resident=(cfg.dp_devices <= 1))
+                   cases=cases, device_resident=(cfg.dp_devices <= 1),
+                   bucket_tiers=cfg.bucket_tiers)
     cfg = cfg.replace(dataset_size=len(pool))
 
-    first = pool.gather_batch(np.arange(cfg.batch_size))
+    first = pool.gather_batch(pool.batch_indices(step_seed=0)[0])
     state, apply_fn = init_train_state(cfg, first, seed=seed)
     if resume_from is not None:
         state = load_state(resume_from, like=state)

@@ -141,10 +141,12 @@ class EnvPool:
                  cases: Optional[List[Dict]] = None,
                  device_resident: bool = False,
                  engine: str = "segment",
-                 tile: int = 256):
+                 tile: int = 256,
+                 bucket_tiers: bool = False):
         self.cfg = cfg
         self.engine = engine
         self.tile = tile
+        self.bucket_tiers = bucket_tiers
         self.rng = np.random.default_rng(seed)
         if engine == "block":
             pad_multiple = max(pad_multiple, tile)
@@ -173,13 +175,26 @@ class EnvPool:
                                          multiple=pad_multiple)
         # block engine: per-case buckets (batches are single-case, so every
         # case can use its own minimal padded shape; jit retraces per shape,
-        # amortized by the persistent compilation cache)
-        if engine == "block":
+        # amortized by the persistent compilation cache).
+        # segment engine with bucket_tiers: per-case buckets too — cases with
+        # EQUAL padded sizes share a tier, batches stay within a tier (one
+        # compiled step per tier instead of padding everything to the largest
+        # case; the committed mixed-vs-stratified study shows the stratified
+        # curriculum converges equivalently).
+        if engine == "block" or bucket_tiers:
             self.case_sizes = [
                 PadSizes.for_meshes([c["mesh"]], multiple=pad_multiple)
                 for c in self.cases]
         else:
             self.case_sizes = [self.sizes] * len(self.cases)
+        # tier = distinct padded-size signature; env → tier via its case
+        tier_keys: Dict[tuple, int] = {}
+        self._case_tier: List[int] = []
+        for cs in self.case_sizes:
+            key = (cs.n_nodes, cs.n_faces, cs.n_cells, cs.n_slots,
+                   cs.n_stencil)
+            self._case_tier.append(tier_keys.setdefault(key, len(tier_keys)))
+        self.n_tiers = len(tier_keys)
         self.envs: List[Environment] = []
         i = 0
         while len(self.envs) < size:
@@ -302,8 +317,17 @@ class EnvPool:
     def _init_device_pool(self) -> None:
         import jax
         import jax.numpy as jnp
-        self._device_data = jax.device_put(
-            stack_samples([e.sample for e in self.envs]))
+        # one stacked device tree per tier (single tier = one [M, ...] tree)
+        self._env_tier = [self._case_tier[e.case_idx] for e in self.envs]
+        self._env_tlocal = [0] * len(self.envs)
+        per_tier: Dict[int, list] = {}
+        for i, t in enumerate(self._env_tier):
+            self._env_tlocal[i] = len(per_tier.setdefault(t, []))
+            per_tier[t].append(i)
+        self._device_data = {
+            t: jax.device_put(stack_samples(
+                [self.envs[i].sample for i in ids]))
+            for t, ids in per_tier.items()}
 
         self._jit_gather = jax.jit(
             lambda data, idxs: jax.tree_util.tree_map(
@@ -383,8 +407,10 @@ class EnvPool:
         if self._device_data is not None:
             new_vals = {f: np.asarray(getattr(new_env.sample, f))
                         for f in self._reroll_fields}
-            self._device_data = self._jit_reroll(self._device_data,
-                                                 np.int32(pos), new_vals)
+            t = self._env_tier[pos]
+            self._device_data[t] = self._jit_reroll(
+                self._device_data[t], np.int32(self._env_tlocal[pos]),
+                new_vals)
 
     # ---- batching ----
 
@@ -393,17 +419,38 @@ class EnvPool:
 
     def batch_indices(self, step_seed: int) -> List[np.ndarray]:
         """Epoch-seeded permutation split into batches of batch_size (parity:
-        SharedSampler, Graph_loader.py:786-828). Drops the ragged tail."""
-        perm = np.random.default_rng(step_seed).permutation(len(self.envs))
+        SharedSampler, Graph_loader.py:786-828). Drops the ragged tail.
+        With multiple bucket tiers, batches are formed within a tier (the
+        committed mixed-vs-stratified study shows equivalent convergence)."""
+        rng = np.random.default_rng(step_seed)
         bs = self.cfg.batch_size
-        n_batches = len(self.envs) // bs
-        return [perm[i * bs:(i + 1) * bs] for i in range(n_batches)]
+        if self.n_tiers == 1:
+            perm = rng.permutation(len(self.envs))
+            return [perm[i * bs:(i + 1) * bs]
+                    for i in range(len(self.envs) // bs)]
+        by_tier: Dict[int, list] = {}
+        for i, env in enumerate(self.envs):
+            by_tier.setdefault(self._case_tier[env.case_idx], []).append(i)
+        out = []
+        for ids in by_tier.values():
+            perm = rng.permutation(ids)
+            out += [perm[i * bs:(i + 1) * bs].astype(np.int64)
+                    for i in range(len(ids) // bs)]
+        rng.shuffle(out)
+        return out
 
     def gather_batch(self, idxs: np.ndarray) -> MeshSample:
         if self._device_data is not None:
             import jax.numpy as jnp
-            return self._jit_gather(self._device_data,
-                                    jnp.asarray(idxs, jnp.int32))
+            t = self._env_tier[int(idxs[0])]
+            if self.n_tiers > 1 and any(
+                    self._env_tier[int(i)] != t for i in idxs):
+                raise ValueError("batch mixes bucket tiers; use "
+                                 "batch_indices() to form batches")
+            local = np.asarray([self._env_tlocal[int(i)] for i in idxs],
+                               np.int32)
+            return self._jit_gather(self._device_data[t],
+                                    jnp.asarray(local, jnp.int32))
         return stack_samples([self.envs[int(i)].sample for i in idxs])
 
     def payback(self, idxs: np.ndarray, uvp_new) -> None:
@@ -412,8 +459,14 @@ class EnvPool:
         device-resident pool, `uvp_new` stays a device array — no host copy."""
         if self._device_data is not None:
             import jax.numpy as jnp
-            self._device_data = self._jit_payback(
-                self._device_data, jnp.asarray(idxs, jnp.int32), uvp_new)
+            if (hasattr(uvp_new, "sharding")
+                    and len(uvp_new.sharding.device_set) > 1):
+                uvp_new = np.asarray(uvp_new)   # dp-sharded payback
+            t = self._env_tier[int(idxs[0])]
+            local = np.asarray([self._env_tlocal[int(i)] for i in idxs],
+                               np.int32)
+            self._device_data[t] = self._jit_payback(
+                self._device_data[t], jnp.asarray(local, jnp.int32), uvp_new)
             for i in idxs:
                 self.envs[int(i)].age += 1
             return
@@ -461,11 +514,13 @@ class EnvPool:
                     self._dyn_pools[ci], np.int32(self._env_local[i]),
                     jnp.asarray(sig))
             elif self._device_data is not None:
-                n_pad = self._device_data.uvp.shape[1]
+                t = self._env_tier[i]
+                n_pad = self._device_data[t].uvp.shape[1]
                 sig = np.zeros(n_pad, np.float32)
                 sig[: signal.shape[0]] = signal
-                self._device_data = self._jit_wave_add(
-                    self._device_data, np.int32(i), jnp.asarray(sig))
+                self._device_data[t] = self._jit_wave_add(
+                    self._device_data[t], np.int32(self._env_tlocal[i]),
+                    jnp.asarray(sig))
             else:
                 uvp = np.asarray(env.sample.uvp).copy()
                 uvp[: signal.shape[0], 2] += signal
@@ -477,5 +532,7 @@ class EnvPool:
             ci = self.envs[idx].case_idx
             return np.asarray(self._dyn_pools[ci].uvp[self._env_local[idx]])
         if self._device_data is not None:
-            return np.asarray(self._device_data.uvp[idx])
+            t = self._env_tier[idx]
+            return np.asarray(
+                self._device_data[t].uvp[self._env_tlocal[idx]])
         return np.asarray(self.envs[idx].sample.uvp)

@@ -76,7 +76,7 @@ def main(argv=None):
         vals = [float(v) for v in line.split(",")]
         curve.append({
             "epoch": int(vals[idx["step"]]),
-            "wall_s": vals[idx["epoch_seconds"]],
+            "epoch_s": vals[idx["epoch_seconds"]],
             "loss": vals[idx["loss"]],
             "cont": vals[idx["loss_cont"]],
             "mom": vals[idx["loss_mom"]],

@@ -45,13 +45,13 @@ def test_payback_roundtrip():
 
 def test_reroll_updates_values_in_place():
     _, dev = _pools()
-    before_geom = np.asarray(dev._device_data.pos).copy()
+    before_geom = np.asarray(dev._device_data[0].pos).copy()
     idxs = np.asarray([0])
     dev.payback(idxs, np.full_like(dev.host_uvp(0)[None], 7.0))
     dev.reset_env()   # re-rolls oldest (env 0) — resets its uvp
     after = dev.host_uvp(0)
     assert not np.allclose(after, 7.0)
-    np.testing.assert_allclose(np.asarray(dev._device_data.pos), before_geom)
+    np.testing.assert_allclose(np.asarray(dev._device_data[0].pos), before_geom)
 
 
 def test_gather_returns_device_arrays():
