@@ -37,7 +37,12 @@ def main(argv=None):
     ap.add_argument("--engine", default="block",
                     choices=["segment", "block"],
                     help="sparse-op engine (block = MXU dense-tile, fastest)")
-    ap.add_argument("--resume", default=None, help="path to a .state file")
+    ap.add_argument("--resume", default=None,
+                    help="path to a .state checkpoint slot")
+    ap.add_argument("--bucket-tiers", type=int, default=0,
+                    help="segment engine: per-size padding tiers")
+    ap.add_argument("--export-on-reset", type=int, default=0,
+                    help="export retiring env solutions on BC re-roll")
     args = ap.parse_args(argv)
 
     from gen_fvgn_tpu.config import Config
@@ -49,7 +54,8 @@ def main(argv=None):
         integrator=args.integrator, conserved_form=bool(args.conserved_form),
         max_inner_steps=args.max_inner_steps, dataset_dir=args.dataset_dir,
         dp_devices=args.dp_devices, mxu_dtype=args.mxu_dtype,
-        engine=args.engine)
+        engine=args.engine, bucket_tiers=bool(args.bucket_tiers),
+        export_on_reset=bool(args.export_on_reset))
 
     case_dirs = sorted(
         {os.path.dirname(os.path.join(sub, f))

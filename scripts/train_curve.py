@@ -38,8 +38,10 @@ def main(argv=None):
     from gen_fvgn_tpu.utils.jax_setup import setup_cache
     setup_cache()
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--demo", choices=["wave-cavity", "poly-cylinder"],
-                    required=True)
+    ap.add_argument("--demo", choices=["wave-cavity", "poly-cylinder",
+                                       "case-dir"], required=True)
+    ap.add_argument("--case-dir", default=None,
+                    help="mesh case directory for --demo case-dir")
     ap.add_argument("--epochs", type=int, default=100)
     ap.add_argument("--inner", type=int, default=20)
     ap.add_argument("--batch", type=int, default=4)
@@ -59,8 +61,10 @@ def main(argv=None):
     cases, case_dirs = None, ()
     if args.demo == "wave-cavity":
         cases = [build_wave_case()]
-    else:
+    elif args.demo == "poly-cylinder":
         case_dirs = [POLY_DIR]
+    else:
+        case_dirs = [args.case_dir]
 
     from gen_fvgn_tpu.io.logger import RunLogger
     logger = RunLogger(args.log_dir, cfg, copy_code=False, seed=0)
