@@ -70,6 +70,24 @@ def pressure_point_source(pos, center, source_frequency, source_strength,
     return xp.sin(source_frequency * np.pi * current_time) * magnitude
 
 
+def make_wave_source_fn(pos: np.ndarray, ts: ThetaSample, n_pad: int,
+                        batch_size: int):
+    """Build the rollout-time wave source callback: time_index -> [B, n_pad]
+    pressure signal (zero-padded), for solve.rollout(wave_source_fn=...)."""
+    pos = np.asarray(pos, np.float32)
+    center = pos.mean(axis=0)
+
+    def fn(time_index: int) -> np.ndarray:
+        sig = pressure_point_source(
+            pos, center, ts.source_frequency, ts.source_strength, ts.dt,
+            time_index).reshape(-1).astype(np.float32)
+        out = np.zeros((batch_size, n_pad), np.float32)
+        out[:, : sig.shape[0]] = sig
+        return out
+
+    return fn
+
+
 def theta_vector(theta_bak: dict, ts: ThetaSample) -> Dict[str, np.ndarray]:
     """Assemble the 9-dim θ_PDE = [unsteady, continuity, convection, grad_p/ρ,
     diffusion, source/U, U_in_x, U_in_y, Re], plus dt_graph and uvp_dim.

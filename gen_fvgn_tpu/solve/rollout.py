@@ -41,12 +41,22 @@ def rollout(
     batch: MeshSample,
     n_steps: int,
     export_fn: Optional[Callable] = None,   # (step, uvp_node, uvp_cell, losses)
+    wave_source_fn: Optional[Callable] = None,  # t -> [B, Np] p-source signal
 ) -> List[dict]:
     """Returns the per-step residual history; the final state is in the last
-    entry's "uvp_node"."""
+    entry's "uvp_node".
+
+    wave_source_fn: for the wave family, the Gaussian point pressure source
+    added to the p channel before each evaluation (parity with the
+    reference's solve-time `update_env`, Graph_loader.py:323-363)."""
+    import jax.numpy as jnp
     step_fn = make_eval_step(cfg, simulator_apply)
     history = []
     for t in range(n_steps):
+        if wave_source_fn is not None:
+            sig = jnp.asarray(wave_source_fn(t + 1))       # time_index >= 1
+            batch = batch.replace(
+                uvp=batch.uvp.at[..., 2].add(sig))
         out = step_fn(params, norm_state, batch)
         uvp_new = np.asarray(out.uvp_node_new)
         rec = {

@@ -32,10 +32,15 @@ def rollout_block(
     static: StaticPack,
     n_steps: int,
     export_fn: Optional[Callable] = None,
+    wave_source_fn: Optional[Callable] = None,  # t -> [B, Np] p-source signal
 ) -> List[dict]:
+    import jax.numpy as jnp
     step_fn = make_eval_step_block(cfg, simulator_apply)
     history = []
     for t in range(n_steps):
+        if wave_source_fn is not None:
+            sig = jnp.asarray(wave_source_fn(t + 1))       # time_index >= 1
+            dyn = dyn.replace(uvp=dyn.uvp.at[..., 2].add(sig))
         out = step_fn(params, norm_state, dyn, static)
         rec = {
             "step": t,

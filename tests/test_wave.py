@@ -58,6 +58,38 @@ def test_wave_source_injection_changes_pool_pressure(engine):
     assert np.abs(p_after - p_before).max() > 1e-4
 
 
+def test_wave_rollout_with_source_injection():
+    """Solve-time wave rollout: the point source drives the p channel each
+    step (reference update_env semantics at inference, Graph_loader.py:
+    323-363) and the state actually oscillates."""
+    import jax.numpy as jnp
+
+    from gen_fvgn_tpu.graph.physics import make_wave_source_fn
+    from gen_fvgn_tpu.solve.rollout import rollout
+    from gen_fvgn_tpu.training.train import init_train_state
+
+    cfg = Config(batch_size=1, dataset_size=1, hidden_size=16,
+                 message_passing_num=1, slice_num=4, attn_heads=2,
+                 mxu_dtype="float32")
+    case = wave_case(cavity_quad_mesh(5), source_strength=(0.02, 0.02, 0.02))
+    pool = EnvPool([], cfg, seed=0, cases=[case], dataset_size=1,
+                   pad_multiple=8)
+    import jax
+    batch = jax.tree_util.tree_map(jnp.asarray,
+                                   pool.gather_batch(np.asarray([0])))
+    state, apply_fn = init_train_state(cfg, batch, seed=0)
+    ts = pool.envs[0].theta_sample
+    src = make_wave_source_fn(case["mesh"]["node|pos"], ts,
+                              n_pad=batch.uvp.shape[1], batch_size=1)
+    hist = rollout(cfg, state.params, state.norm_state, apply_fn, batch,
+                   n_steps=4, wave_source_fn=src)
+    assert len(hist) == 4
+    p_states = np.stack([h["uvp_node"][0, :, 2] for h in hist])
+    assert np.isfinite(p_states).all()
+    # states differ across steps (the source keeps driving the field)
+    assert np.abs(p_states[0] - p_states[-1]).max() > 1e-6
+
+
 @pytest.mark.parametrize("engine", ["segment", "block"])
 def test_wave_family_trains(engine, tmp_path):
     """The fourth PDE family actually trains: finite decreasing-ish loss with
