@@ -1,0 +1,41 @@
+"""Multi-host glue (parallel/multihost.py): single-process semantics are
+identity; the sharding arithmetic is exercised for simulated process
+counts."""
+
+import numpy as np
+import pytest
+
+from gen_fvgn_tpu.parallel.multihost import (global_mesh, host_shard,
+                                             initialize, local_batch_rows)
+
+
+def test_initialize_single_process_noop():
+    initialize()  # must not raise or try to reach a coordinator
+
+
+def test_host_shard_identity_single_process():
+    items = ["a", "b", "c"]
+    assert host_shard(items) == items
+
+
+def test_host_shard_partitions_exactly():
+    items = list(range(10))
+    shards = [host_shard(items, process_id=p, process_count=3)
+              for p in range(3)]
+    assert sorted(sum(shards, [])) == items
+    assert {len(s) for s in shards} <= {3, 4}
+
+
+def test_local_batch_rows_blocks():
+    rows = [local_batch_rows(8, process_id=p, process_count=4)
+            for p in range(4)]
+    np.testing.assert_array_equal(np.concatenate(rows), np.arange(8))
+    with pytest.raises(ValueError, match="not divisible"):
+        local_batch_rows(10, process_id=0, process_count=4)
+
+
+def test_global_mesh_covers_all_devices():
+    import jax
+    mesh = global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    assert mesh.axis_names == ("dp",)
