@@ -65,8 +65,17 @@ def main(argv=None):
             solution_time=float(t))
 
     if args.mode == "rollout":
+        # wave family: inject the point pressure source every rollout step
+        src_fn = None
+        ts = pool.envs[0].theta_sample
+        if ts.source_frequency != 0:
+            from gen_fvgn_tpu.graph.physics import make_wave_source_fn
+            src_fn = make_wave_source_fn(mesh["node|pos"], ts,
+                                         n_pad=batch.uvp.shape[1],
+                                         batch_size=1)
         hist = rollout(cfg, state.params, state.norm_state, apply_fn, batch,
-                       n_steps=args.steps, export_fn=export)
+                       n_steps=args.steps, export_fn=export,
+                       wave_source_fn=src_fn)
         print(f"rollout finished: final cont residual "
               f"{hist[-1]['loss_cont'][0]:.3e}")
     elif args.mode == "adam":
@@ -111,9 +120,16 @@ def _solve_block(cfg, args):
             solution_time=float(t))
 
     if args.mode == "rollout":
+        src_fn = None
+        ts = pool.envs[0].theta_sample
+        if ts.source_frequency != 0:
+            from gen_fvgn_tpu.graph.physics import make_wave_source_fn
+            src_fn = make_wave_source_fn(mesh["node|pos"], ts,
+                                         n_pad=dyn.uvp.shape[1],
+                                         batch_size=1)
         hist = rollout_block(cfg, state.params, state.norm_state, apply_fn,
                              dyn, static, n_steps=args.steps,
-                             export_fn=export)
+                             export_fn=export, wave_source_fn=src_fn)
         print(f"block rollout finished: final cont residual "
               f"{hist[-1]['loss_cont'][0]:.3e}")
     elif args.mode == "adam":
