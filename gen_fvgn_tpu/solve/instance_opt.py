@@ -94,6 +94,9 @@ def solve_adam(
                     max(cfg.residual_tolerance, 1e-30)):
                 break
         rec = {"step": t, "inner_losses": np.concatenate(losses_all),
+               "loss_cont": np.asarray(out.loss_cont).reshape(-1),
+               "loss_mom_x": np.asarray(out.loss_mom_x).reshape(-1),
+               "loss_mom_y": np.asarray(out.loss_mom_y).reshape(-1),
                "uvp_node": np.asarray(out.uvp_node_new),
                "uvp_cell": np.asarray(out.uvp_cell_new)}
         history.append(rec)
@@ -205,6 +208,9 @@ def solve_adam_block(cfg, params, norm_state, simulator_apply, dyn, static,
         params, opt_state, losses, out = run(params, opt_state, norm_state,
                                              dyn, static)
         rec = {"step": t, "inner_losses": np.asarray(losses),
+               "loss_cont": np.asarray(out.loss_cont).reshape(-1),
+               "loss_mom_x": np.asarray(out.loss_mom_x).reshape(-1),
+               "loss_mom_y": np.asarray(out.loss_mom_y).reshape(-1),
                "uvp_node": np.asarray(out.uvp_node_new),
                "uvp_cell": np.asarray(out.uvp_cell_new)}
         history.append(rec)
