@@ -57,14 +57,19 @@ def integrate_residuals_block(
 
     phi_cell = _interp(ops.n2c_m0, ops.n2c_mx, ops.n2c_my,
                        collection, grad_phi)                          # [Nc,7]
-    phi_face = _interp(ops.n2f_m0, ops.n2f_mx, ops.n2f_my,
-                       collection[:, 0:5], grad_phi[:, 0:5])          # [E,5]
-    # face gradients of the first 5 channels: plain endpoint mean of ∇
     grad5 = grad_phi[:, 0:5].reshape(n_pad, 10)
-    nabla_face = apply_linop(ops.n2f_m0, grad5).reshape(-1, 5, 2)     # [E,5,2]
-
-    # BC flux pinning
-    y_face = apply_linop(ops.n2f_m0, dyn.target_uv)                   # [E,2]
+    # ONE wide n2f_m0 apply for [phi5 | ∇5 (endpoint mean) | y]: the
+    # operator tiles are read once instead of three times (the step is
+    # HBM-bound; operator traffic is its critical path)
+    face_m0 = apply_linop(
+        ops.n2f_m0,
+        jnp.concatenate([collection[:, 0:5], grad5, dyn.target_uv],
+                        axis=-1))                                     # [E,17]
+    phi_face = face_m0[:, 0:5] + \
+        apply_linop(ops.n2f_mx, grad5[:, 0::2]) + \
+        apply_linop(ops.n2f_my, grad5[:, 1::2])                       # [E,5]
+    nabla_face = face_m0[:, 5:15].reshape(-1, 5, 2)                   # [E,5,2]
+    y_face = face_m0[:, 15:17]                                        # [E,2]
     def fix_bc(face_uv):
         out = jnp.where(ops.face_inflow > 0, y_face, face_uv)
         return jnp.where(ops.face_wall > 0, 0.0, out)
