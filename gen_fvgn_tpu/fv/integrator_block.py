@@ -94,17 +94,19 @@ def integrate_residuals_block(
         return safe_sqrt(jnp.sum(per_cell ** 2, axis=0))
 
     if conserved_form:
-        cell_div = apply_linop(ops.flux_x, uv_face_new[:, 0:1]) + \
-            apply_linop(ops.flux_y, uv_face_new[:, 1:2])              # [Nc,1]
-        loss_cont = pool(cell_div) * cont_c
-
         # flux matrix M = conv·u⊗u + gradp·pI − diff·∇u_hat, per face
         uu = uv_face_hat[:, :, None] * uv_face_hat[:, None, :]        # [E,2,2]
         m = (conv_c * uu
              + gradp_c * (jnp.eye(2)[None] * p_face_new[:, :, None])
              - diff_c * nabla_uv_face_hat)                            # [E,2,2]
-        j_x = apply_linop(ops.flux_x, m[:, :, 0]) + \
-            apply_linop(ops.flux_y, m[:, :, 1])                       # [Nc,2]
+        # one wide apply per flux operator: [continuity col | momentum cols]
+        fx = apply_linop(ops.flux_x, jnp.concatenate(
+            [uv_face_new[:, 0:1], m[:, :, 0]], axis=-1))              # [Nc,3]
+        fy = apply_linop(ops.flux_y, jnp.concatenate(
+            [uv_face_new[:, 1:2], m[:, :, 1]], axis=-1))
+        cell_div = fx[:, 0:1] + fy[:, 0:1]                            # [Nc,1]
+        loss_cont = pool(cell_div) * cont_c
+        j_x = fx[:, 1:3] + fy[:, 1:3]                                 # [Nc,2]
         rhs = j_x - source_c * cells_area
         loss_mom_cell = unsteady_c * unsteady_cell + rhs
         loss_mom = pool(loss_mom_cell) * dyn.sigma[0:2]
