@@ -156,8 +156,14 @@ def build_mesh_operators(mesh: Dict[str, np.ndarray], order: str,
     deg = np.zeros((np_pad, 1), np.float32)
     np.add.at(deg, rows, 1.0)
 
-    gs = build_linop(*gather_coo(s), e_pad, np_pad, tile, tile, dtype=mdt)
-    gr = build_linop(*gather_coo(r), e_pad, np_pad, tile, tile, dtype=mdt)
+    # pure row-gathers: jnp.take forward (measured ~2x the block matmul at
+    # h=128 bf16), block-matmul transpose for backward. Padded rows index 0.
+    s_take = np.zeros(e_pad, np.int32); s_take[:e] = s
+    r_take = np.zeros(e_pad, np.int32); r_take[:e] = r
+    gs = build_linop(*gather_coo(s), e_pad, np_pad, tile, tile, dtype=mdt,
+                     fwd_take=s_take)
+    gr = build_linop(*gather_coo(r), e_pad, np_pad, tile, tile, dtype=mdt,
+                     fwd_take=r_take)
     ed = build_linop(*signed_diff_coo(face_node), e_pad, np_pad, tile, tile)
     e_idx = np.arange(e)
     scat_r = build_linop(r, e_idx, np.ones(e, np.float32), np_pad, e_pad,

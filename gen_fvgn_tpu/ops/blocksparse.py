@@ -30,9 +30,18 @@ from flax import struct
 
 @struct.dataclass
 class BlockOp:
-    """One direction of a static sparse operator [n_out, n_in]."""
+    """One direction of a static sparse operator [n_out, n_in].
+
+    take_idx: for PURE ROW-GATHER operators (each row exactly one +1.0
+    entry) the row indices [n_out] — apply becomes a jnp.take when the
+    operand rows are wide enough for efficient TPU gathers (measured:
+    takes win at >=256 bytes/row, e.g. h=128 bf16; block matmuls win for
+    the narrow f32 FV operands). Padded output rows read row 0 and carry
+    garbage instead of zero — only safe where downstream consumption is
+    structural (the model message-passing path)."""
     blocks: jnp.ndarray    # [nTo, K, To, Ti] f32
     in_tile: jnp.ndarray   # [nTo, K] i32 — operand tile per slot (0-padded)
+    take_idx: Optional[jnp.ndarray] = None   # [n_out] i32 row-gather indices
 
     @property
     def tile_out(self) -> int:
@@ -60,7 +69,8 @@ def _round_up(x: int, m: int) -> int:
 
 def build_block_op(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
                    n_out: int, n_in: int, tile_out: int = 256,
-                   tile_in: int = 256, dtype=np.float32) -> BlockOp:
+                   tile_in: int = 256, dtype=np.float32,
+                   take_idx: Optional[np.ndarray] = None) -> BlockOp:
     """Assemble dense tiles from COO triplets (duplicates accumulate).
 
     n_out / n_in are the PADDED sizes (must be multiples of the tiles).
@@ -97,15 +107,22 @@ def build_block_op(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
         blocks[i, slot[i]] = dense[b].astype(np_dtype)
         in_tile[i, slot[i]] = uc[b]
         slot[i] += 1
-    return BlockOp(blocks=jnp.asarray(blocks), in_tile=jnp.asarray(in_tile))
+    ti = None if take_idx is None else jnp.asarray(
+        np.asarray(take_idx, np.int32))
+    return BlockOp(blocks=jnp.asarray(blocks), in_tile=jnp.asarray(in_tile),
+                   take_idx=ti)
 
 
 def build_linop(rows, cols, vals, n_out: int, n_in: int,
                 tile_out: int = 256, tile_in: int = 256,
-                dtype=np.float32) -> LinOp:
+                dtype=np.float32,
+                fwd_take: Optional[np.ndarray] = None) -> LinOp:
+    """fwd_take: explicit row-gather indices [n_out] (pad rows 0) enabling
+    the jnp.take fast path on the forward direction; the backward stays a
+    block matmul (XLA scatter is the thing this engine exists to avoid)."""
     return LinOp(
         fwd=build_block_op(rows, cols, vals, n_out, n_in, tile_out, tile_in,
-                           dtype),
+                           dtype, take_idx=fwd_take),
         bwd=build_block_op(cols, rows, vals, n_in, n_out, tile_in, tile_out,
                            dtype),
     )
@@ -127,6 +144,13 @@ def _apply_block_op(op: BlockOp, x: jnp.ndarray) -> jnp.ndarray:
     """x [n_in, F] -> [n_out, F] (F may itself be a flattened feature pack).
 
     bf16 blocks cast the operand to bf16 for the MXU (f32 accumulation)."""
+    if op.take_idx is not None and x.shape[-1] * x.dtype.itemsize >= 256:
+        # dtype parity with the matmul path: bf16 blocks round the operand
+        # to bf16; the output dtype is bf16 only when the input was bf16
+        if op.blocks.dtype == jnp.bfloat16 and x.dtype != jnp.bfloat16:
+            return jnp.take(x.astype(jnp.bfloat16), op.take_idx,
+                            axis=0).astype(x.dtype)
+        return jnp.take(x, op.take_idx, axis=0)
     if _USE_PALLAS and x.ndim == 2 and x.shape[1] % 128 == 0:
         from gen_fvgn_tpu.ops.pallas_spmm import pallas_block_spmm
         pet = (jnp.bfloat16 if (x.dtype == jnp.bfloat16

@@ -80,14 +80,18 @@ def _ln_stats(y):
     return mu, rstd
 
 
-def _make_fwd_kernel(n_parts: int):
+def _make_fwd_kernel(n_parts: int, n_pre: int = 0):
     def kernel(*refs):
         parts = [r[:] for r in refs[:n_parts]]
         w1s = [r[:] for r in refs[n_parts:2 * n_parts]]
+        pres = refs[2 * n_parts:2 * n_parts + n_pre]
         b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, g_ref, be_ref, out_ref = \
-            refs[2 * n_parts:]
+            refs[2 * n_parts + n_pre:]
+        b1 = b1_ref[:].astype(jnp.float32)
+        for p in pres:
+            b1 = b1 + p[:].astype(jnp.float32)
         _, _, _, _, y = _fwd_core(
-            parts, w1s, b1_ref[:].astype(jnp.float32),
+            parts, w1s, b1,
             w2_ref[:], b2_ref[:].astype(jnp.float32),
             w3_ref[:], b3_ref[:].astype(jnp.float32))
         mu, rstd = _ln_stats(y)
@@ -97,21 +101,26 @@ def _make_fwd_kernel(n_parts: int):
     return kernel
 
 
-def _make_bwd_kernel(n_parts: int):
+def _make_bwd_kernel(n_parts: int, n_pre: int = 0):
     def kernel(*refs):
         parts = [r[:] for r in refs[:n_parts]]
         w1s = [r[:] for r in refs[n_parts:2 * n_parts]]
+        pres = refs[2 * n_parts:2 * n_parts + n_pre]
         (b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, g_ref, dout_ref) = \
-            refs[2 * n_parts:2 * n_parts + 7]
-        outs = refs[2 * n_parts + 7:]
+            refs[2 * n_parts + n_pre:2 * n_parts + n_pre + 7]
+        outs = refs[2 * n_parts + n_pre + 7:]
         dx_refs = outs[:n_parts]
-        pdw1_refs = outs[n_parts:2 * n_parts]
+        dpre_refs = outs[n_parts:n_parts + n_pre]
+        pdw1_refs = outs[n_parts + n_pre:2 * n_parts + n_pre]
         (pdb1_ref, pdw2_ref, pdb2_ref, pdw3_ref, pdb3_ref, pdg_ref,
-         pdbe_ref) = outs[2 * n_parts:]
+         pdbe_ref) = outs[2 * n_parts + n_pre:]
 
         gamma = g_ref[:].astype(jnp.float32)                 # [1, D]
+        b1 = b1_ref[:].astype(jnp.float32)
+        for p in pres:
+            b1 = b1 + p[:].astype(jnp.float32)
         h1pre, h1, h2pre, h2, y = _fwd_core(
-            parts, w1s, b1_ref[:].astype(jnp.float32),
+            parts, w1s, b1,
             w2_ref[:], b2_ref[:].astype(jnp.float32),
             w3_ref[:], b3_ref[:].astype(jnp.float32))
         mu, rstd = _ln_stats(y)
@@ -143,6 +152,8 @@ def _make_bwd_kernel(n_parts: int):
         dh1pre = dh1 * _gelu_tanh_grad(h1pre)
         dh1pre16 = dh1pre.astype(dt)
         pdb1_ref[0] = jnp.sum(dh1pre, axis=0, keepdims=True)
+        for dpre_ref in dpre_refs:
+            dpre_ref[:] = dh1pre.astype(dpre_ref.dtype)
         for xp, w1p, dx_ref, pdw1_ref in zip(parts, w1s, dx_refs, pdw1_refs):
             pdw1_ref[0] = jnp.dot(xp.T, dh1pre16,
                                   preferred_element_type=jnp.float32)
@@ -172,60 +183,68 @@ def _part_spec(a, b):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
-def fused_mlp_ln(parts, w1s, b1, w2, b2, w3, b3, gamma, beta):
-    """parts: tuple of [M, kᵢ]; w1s: tuple of [kᵢ, H]; biases/γ/β [1, ·].
+def fused_mlp_ln(parts, w1s, b1, w2, b2, w3, b3, gamma, beta, pres=()):
+    """parts: tuple of [M, kᵢ]; w1s: tuple of [kᵢ, H]; biases/γ/β [1, ·];
+    pres: tuple of already-projected [M, H] inputs added into the first
+    pre-activation (h1pre += Σ pres — the GraphNet gather restructure).
     Returns LN(MLP(concat(parts))) [M, D]."""
-    out, _ = _fused_fwd(parts, w1s, b1, w2, b2, w3, b3, gamma, beta)
+    out, _ = _fused_fwd(parts, w1s, b1, w2, b2, w3, b3, gamma, beta, pres)
     return out
 
 
-def _fused_fwd(parts, w1s, b1, w2, b2, w3, b3, gamma, beta):
+def _fused_fwd(parts, w1s, b1, w2, b2, w3, b3, gamma, beta, pres=()):
     n_parts = len(parts)
+    n_pre = len(pres)
     m = parts[0].shape[0]
     h = w2.shape[0]
     d = w3.shape[1]
     grid = (m // TILE_M,)
     out = pl.pallas_call(
-        _make_fwd_kernel(n_parts),
+        _make_fwd_kernel(n_parts, n_pre),
         grid=grid,
         in_specs=(
             [_tile_spec(p.shape[1]) for p in parts]
             + [_const_spec(w.shape) for w in w1s]
+            + [_tile_spec(h) for _ in pres]
             + [_const_spec((1, h)), _const_spec((h, h)), _const_spec((1, h)),
                _const_spec((h, d)), _const_spec((1, d)),
                _const_spec((1, d)), _const_spec((1, d))]),
         out_specs=_tile_spec(d),
         out_shape=jax.ShapeDtypeStruct((m, d), parts[0].dtype),
         interpret=_interpret(),
-    )(*parts, *w1s, b1, w2, b2, w3, b3, gamma, beta)
-    return out, (parts, w1s, b1, w2, b2, w3, b3, gamma)
+    )(*parts, *w1s, *pres, b1, w2, b2, w3, b3, gamma, beta)
+    return out, (parts, w1s, b1, w2, b2, w3, b3, gamma, pres)
 
 
 def _fused_bwd(res, g):
-    parts, w1s, b1, w2, b2, w3, b3, gamma = res
+    parts, w1s, b1, w2, b2, w3, b3, gamma, pres = res
     n_parts = len(parts)
+    n_pre = len(pres)
     m = parts[0].shape[0]
     h = w2.shape[0]
     d = w3.shape[1]
     n_tiles = m // TILE_M
     f32 = jnp.float32
     outs = pl.pallas_call(
-        _make_bwd_kernel(n_parts),
+        _make_bwd_kernel(n_parts, n_pre),
         grid=(n_tiles,),
         in_specs=(
             [_tile_spec(p.shape[1]) for p in parts]
             + [_const_spec(w.shape) for w in w1s]
+            + [_tile_spec(h) for _ in pres]
             + [_const_spec((1, h)), _const_spec((h, h)), _const_spec((1, h)),
                _const_spec((h, d)), _const_spec((1, d)), _const_spec((1, d))]
             + [_tile_spec(d)]),
         out_specs=(
             [_tile_spec(p.shape[1]) for p in parts]
+            + [_tile_spec(h) for _ in pres]
             + [_part_spec(w.shape[0], h) for w in w1s]
             + [_part_spec(1, h), _part_spec(h, h), _part_spec(1, h),
                _part_spec(h, d), _part_spec(1, d),
                _part_spec(1, d), _part_spec(1, d)]),
         out_shape=(
             [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in parts]
+            + [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in pres]
             + [jax.ShapeDtypeStruct((n_tiles,) + w.shape, f32) for w in w1s]
             + [jax.ShapeDtypeStruct((n_tiles, 1, h), f32),
                jax.ShapeDtypeStruct((n_tiles, h, h), f32),
@@ -235,40 +254,49 @@ def _fused_bwd(res, g):
                jax.ShapeDtypeStruct((n_tiles, 1, d), f32),
                jax.ShapeDtypeStruct((n_tiles, 1, d), f32)]),
         interpret=_interpret(),
-    )(*parts, *w1s, b1, w2, b2, w3, b3, gamma, g)
+    )(*parts, *w1s, *pres, b1, w2, b2, w3, b3, gamma, g)
     dxs = tuple(outs[:n_parts])
-    pdw1s = outs[n_parts:2 * n_parts]
-    pdb1, pdw2, pdb2, pdw3, pdb3, pdg, pdbe = outs[2 * n_parts:]
+    dpres = tuple(outs[n_parts:n_parts + n_pre])
+    pdw1s = outs[n_parts + n_pre:2 * n_parts + n_pre]
+    pdb1, pdw2, pdb2, pdw3, pdb3, pdg, pdbe = outs[2 * n_parts + n_pre:]
     cast = lambda t, like: t.astype(like.dtype)
     return (dxs,
             tuple(cast(p.sum(0), w) for p, w in zip(pdw1s, w1s)),
             cast(pdb1.sum(0), b1), cast(pdw2.sum(0), w2),
             cast(pdb2.sum(0), b2), cast(pdw3.sum(0), w3),
             cast(pdb3.sum(0), b3), cast(pdg.sum(0), gamma),
-            cast(pdbe.sum(0), gamma))
+            cast(pdbe.sum(0), gamma), dpres)
 
 
 fused_mlp_ln.defvjp(_fused_fwd, _fused_bwd)
 
 
 def fused_mlp_ln_parts(parts: Sequence[jnp.ndarray], w1, b1, w2, b2, w3, b3,
-                       gamma, beta, dtype=jnp.bfloat16):
+                       gamma, beta, dtype=jnp.bfloat16,
+                       pres: Sequence[jnp.ndarray] = (),
+                       w1_rows: Sequence[Tuple[int, int]] = None):
     """Dispatch wrapper for the model code.
 
     `w1` is the FULL first-layer kernel [(Σkᵢ), H] from the checkpoint tree;
-    it is row-sliced per part here (compile-time). Parts whose width is not
-    lane-aligned are zero-padded along K together with their W1 slice. M is
-    zero-padded to a TILE_M multiple. All pads are static."""
+    it is row-sliced per part here (compile-time) — by cumulative part
+    widths, or by explicit `w1_rows` (o0, o1) spans when some rows of w1
+    were consumed by external projections (`pres`, already [M, H] in the
+    h1pre basis). Parts whose width is not lane-aligned are zero-padded
+    along K together with their W1 slice. M is zero-padded to a TILE_M
+    multiple. All pads are static."""
     widths = [p.shape[1] for p in parts]
-    offs = [0]
-    for w in widths:
-        offs.append(offs[-1] + w)
-    m = parts[0].shape[0]
+    if w1_rows is None:
+        offs = [0]
+        for w in widths:
+            offs.append(offs[-1] + w)
+        w1_rows = [(offs[i], offs[i + 1]) for i in range(len(parts))]
+    m = parts[0].shape[0] if parts else pres[0].shape[0]
     m_pad = ((m + TILE_M - 1) // TILE_M) * TILE_M
 
     parts16, w1s = [], []
     for i, p in enumerate(parts):
-        w1p = w1[offs[i]:offs[i + 1]].astype(dtype)
+        o0, o1 = w1_rows[i]
+        w1p = w1[o0:o1].astype(dtype)
         k = widths[i]
         k_ok = (k % 128 == 0) or (k < 128)
         if not k_ok:
@@ -280,9 +308,15 @@ def fused_mlp_ln_parts(parts: Sequence[jnp.ndarray], w1, b1, w2, b2, w3, b3,
             p = jnp.pad(p, ((0, m_pad - m), (0, 0)))
         parts16.append(p)
         w1s.append(w1p)
+    pres16 = []
+    for p in pres:
+        p = p.astype(dtype)
+        if m_pad != m:
+            p = jnp.pad(p, ((0, m_pad - m), (0, 0)))
+        pres16.append(p)
 
     row = lambda v: v.reshape(1, -1)
     out = fused_mlp_ln(tuple(parts16), tuple(w1s), row(b1),
                        w2.astype(dtype), row(b2), w3.astype(dtype), row(b3),
-                       row(gamma), row(beta))
+                       row(gamma), row(beta), tuple(pres16))
     return out[:m] if m_pad != m else out
