@@ -66,7 +66,10 @@ def main():
                  n_epochs=1000, mxu_dtype="bfloat16", tile=tile)
 
     t0 = time.time()
-    pool = EnvPool([CASE], cfg, seed=0, pad_multiple=max(tile, 256),
+    # pad to 512 so every fused-MLP M dim hits the fast 512-row kernel tile
+    # with zero pad copies (256-padding forces either pads or 256-row tiles,
+    # both measured ~ -1 steps/s)
+    pool = EnvPool([CASE], cfg, seed=0, pad_multiple=max(tile, 512),
                    engine="block", tile=tile)
     static = pool.statics[0]
     dyn = pool.gather_block(np.arange(batch_size))

@@ -6,6 +6,14 @@ but every sparse transfer — WLSQ gradients, node→cell/face interpolation,
 flux accumulation, cell→node smoothing — is a precomputed `LinOp` matmul.
 Operates on ONE sample's dynamic state with the shared StaticPack; the
 caller vmaps over the batch with in_axes=(0, 0, 0, 0, None).
+
+Layout note: gradients are carried as SEPARATE gx/gy channel planes
+([Np, 7] each) rather than a [Np, 7, 2] tensor — the folded WLSQ operator
+emits [Np·2 ← Np] gradient rows only (the live path never consumes higher
+moments; the reference disables the Hessian term, FVscheme.py:668), and the
+split-plane layout removes every transpose/interleave data-formatting op
+from the residual assembly (measured ~1.4 ms/step on the bench workload for
+the [Np,5,7]→[Np,7,2] swap alone).
 """
 
 from __future__ import annotations
@@ -18,15 +26,13 @@ from gen_fvgn_tpu.fv.integrator import FVLosses
 from gen_fvgn_tpu.graph.packs import DynamicPack, StaticPack
 from gen_fvgn_tpu.ops.blocksparse import apply_linop
 from gen_fvgn_tpu.ops.segment import safe_sqrt
-from gen_fvgn_tpu.ops.wlsq import WLSQ_DIM
 
 
-def _interp(m0, mx, my, phi, grad):
+def _interp(m0, mx, my, phi, gx, gy):
     """value + r·∇ interpolation: m0 φ + mx ∂xφ + my ∂yφ."""
     out = apply_linop(m0, phi)
-    if grad is not None:
-        out = out + apply_linop(mx, grad[..., 0]) + \
-            apply_linop(my, grad[..., 1])
+    if gx is not None:
+        out = out + apply_linop(mx, gx) + apply_linop(my, gy)
     return out
 
 
@@ -41,14 +47,13 @@ def integrate_residuals_block(
     ncn_smooth: bool = True,
 ) -> Tuple[FVLosses, jnp.ndarray, jnp.ndarray]:
     ops = static.ops
-    k = WLSQ_DIM[order]
     n_pad = uvp_new.shape[0]
 
     collection = jnp.concatenate([uvp_new, uv_hat, uv_old], axis=-1)  # [Np,7]
 
-    # WLSQ: one folded matmul → [Np, k, 7]
-    nabla = apply_linop(ops.wlsq, collection).reshape(n_pad, k, 7)
-    grad_phi = jnp.swapaxes(nabla[:, 0:2, :], 1, 2)                   # [Np,7,2]
+    # WLSQ: one folded matmul → gradient planes gx, gy [Np, 7] each
+    nabla = apply_linop(ops.wlsq, collection).reshape(n_pad, 2, 7)
+    gx, gy = nabla[:, 0], nabla[:, 1]
 
     theta = dyn.theta
     unsteady_c, cont_c, conv_c = theta[0], theta[1], theta[2]
@@ -56,19 +61,20 @@ def integrate_residuals_block(
     cells_area = static.cells_area                                    # [Nc,1]
 
     phi_cell = _interp(ops.n2c_m0, ops.n2c_mx, ops.n2c_my,
-                       collection, grad_phi)                          # [Nc,7]
-    grad5 = grad_phi[:, 0:5].reshape(n_pad, 10)
-    # ONE wide n2f_m0 apply for [phi5 | ∇5 (endpoint mean) | y]: the
-    # operator tiles are read once instead of three times (the step is
-    # HBM-bound; operator traffic is its critical path)
+                       collection, gx, gy)                            # [Nc,7]
+    gx5, gy5 = gx[:, 0:5], gy[:, 0:5]
+    # ONE wide n2f_m0 apply for [phi5 | gx5 | gy5 | y]: the operator tiles
+    # are read once instead of four times (the step is HBM-bound; operator
+    # traffic is its critical path)
     face_m0 = apply_linop(
         ops.n2f_m0,
-        jnp.concatenate([collection[:, 0:5], grad5, dyn.target_uv],
+        jnp.concatenate([collection[:, 0:5], gx5, gy5, dyn.target_uv],
                         axis=-1))                                     # [E,17]
     phi_face = face_m0[:, 0:5] + \
-        apply_linop(ops.n2f_mx, grad5[:, 0::2]) + \
-        apply_linop(ops.n2f_my, grad5[:, 1::2])                       # [E,5]
-    nabla_face = face_m0[:, 5:15].reshape(-1, 5, 2)                   # [E,5,2]
+        apply_linop(ops.n2f_mx, gx5) + \
+        apply_linop(ops.n2f_my, gy5)                                  # [E,5]
+    gx_face = face_m0[:, 5:10]                                        # [E,5]
+    gy_face = face_m0[:, 10:15]
     y_face = face_m0[:, 15:17]                                        # [E,2]
     def fix_bc(face_uv):
         out = jnp.where(ops.face_inflow > 0, y_face, face_uv)
@@ -79,12 +85,14 @@ def integrate_residuals_block(
 
     uvp_cell_new = phi_cell[:, 0:3]
     uv_cell_old = phi_cell[:, 5:7]
-    nabla_uv_face = nabla_face[:, 0:2]
-    nabla_uv_face_hat = nabla_face[:, 3:5]
+    gx_uv_hat = gx_face[:, 3:5]            # ∂x of u_hat, v_hat  [E,2]
+    gy_uv_hat = gy_face[:, 3:5]
 
     # pressure-outlet traction balance (elementwise: s_out ≠ 0 only on
-    # boundary OUTFLOW faces, which have exactly one owning cell)
-    visc_out = diff_c * jnp.einsum("ecd,ed->ec", nabla_uv_face, ops.s_out)
+    # boundary OUTFLOW faces, which have exactly one owning cell):
+    # visc[c] = diff · (∂x u_c · S_x + ∂y u_c · S_y)
+    visc_out = diff_c * (gx_face[:, 0:2] * ops.s_out[:, 0:1]
+                         + gy_face[:, 0:2] * ops.s_out[:, 1:2])
     resid_out = visc_out - p_face_new * ops.s_out
     loss_press = safe_sqrt(jnp.sum(resid_out ** 2))[None]
 
@@ -94,16 +102,18 @@ def integrate_residuals_block(
         return safe_sqrt(jnp.sum(per_cell ** 2, axis=0))
 
     if conserved_form:
-        # flux matrix M = conv·u⊗u + gradp·pI − diff·∇u_hat, per face
-        uu = uv_face_hat[:, :, None] * uv_face_hat[:, None, :]        # [E,2,2]
-        m = (conv_c * uu
-             + gradp_c * (jnp.eye(2)[None] * p_face_new[:, :, None])
-             - diff_c * nabla_uv_face_hat)                            # [E,2,2]
+        # flux matrix column d: conv·u_hat·u_hat_d + gradp·p·e_d − diff·∂d u_hat
+        mx = conv_c * uv_face_hat * uv_face_hat[:, 0:1] - diff_c * gx_uv_hat
+        my = conv_c * uv_face_hat * uv_face_hat[:, 1:2] - diff_c * gy_uv_hat
+        mx = jnp.concatenate([mx[:, 0:1] + gradp_c * p_face_new, mx[:, 1:2]],
+                             axis=-1)                                 # [E,2]
+        my = jnp.concatenate([my[:, 0:1], my[:, 1:2] + gradp_c * p_face_new],
+                             axis=-1)
         # one wide apply per flux operator: [continuity col | momentum cols]
         fx = apply_linop(ops.flux_x, jnp.concatenate(
-            [uv_face_new[:, 0:1], m[:, :, 0]], axis=-1))              # [Nc,3]
+            [uv_face_new[:, 0:1], mx], axis=-1))                      # [Nc,3]
         fy = apply_linop(ops.flux_y, jnp.concatenate(
-            [uv_face_new[:, 1:2], m[:, :, 1]], axis=-1))
+            [uv_face_new[:, 1:2], my], axis=-1))
         cell_div = fx[:, 0:1] + fy[:, 0:1]                            # [Nc,1]
         loss_cont = pool(cell_div) * cont_c
         j_x = fx[:, 1:3] + fy[:, 1:3]                                 # [Nc,2]
@@ -111,22 +121,23 @@ def integrate_residuals_block(
         loss_mom_cell = unsteady_c * unsteady_cell + rhs
         loss_mom = pool(loss_mom_cell) * dyn.sigma[0:2]
     else:
-        nabla_cell = _interp(ops.n2c_m0, ops.n2c_mx, ops.n2c_my,
-                             grad5, None).reshape(-1, 5, 2)           # [Nc,5,2]
-        nabla_uvp_cell = nabla_cell[:, 0:3]
-        nabla_uv_cell_hat = nabla_cell[:, 3:5]
+        gx_cell = _interp(ops.n2c_m0, ops.n2c_mx, ops.n2c_my,
+                          gx5, None, None)                            # [Nc,5]
+        gy_cell = _interp(ops.n2c_m0, ops.n2c_mx, ops.n2c_my,
+                          gy5, None, None)
         uv_cell_hat = phi_cell[:, 3:5]
 
-        cell_div = (nabla_uvp_cell[:, 0:1, 0] + nabla_uvp_cell[:, 1:2, 1]) \
-            * cells_area
+        cell_div = (gx_cell[:, 0:1] + gy_cell[:, 1:2]) * cells_area
         loss_cont = pool(cell_div) * cont_c
 
-        convection_cell = jnp.einsum("ncd,nd->nc", nabla_uv_cell_hat,
-                                     uv_cell_hat) * cells_area
-        grad_p_cell = nabla_uvp_cell[:, 2] * cells_area
-        visc_face = jnp.swapaxes(nabla_uv_face_hat, 1, 2)             # [E,2,2]
-        visc_cell = apply_linop(ops.flux_x, visc_face[:, 0]) + \
-            apply_linop(ops.flux_y, visc_face[:, 1])                  # [Nc,2]
+        # (u·∇)u per cell: u ∂x u_c + v ∂y u_c
+        convection_cell = (gx_cell[:, 3:5] * uv_cell_hat[:, 0:1]
+                           + gy_cell[:, 3:5] * uv_cell_hat[:, 1:2]) \
+            * cells_area
+        grad_p_cell = jnp.concatenate([gx_cell[:, 2:3], gy_cell[:, 2:3]],
+                                      axis=-1) * cells_area
+        visc_cell = apply_linop(ops.flux_x, gx_uv_hat) + \
+            apply_linop(ops.flux_y, gy_uv_hat)                        # [Nc,2]
         loss_mom_cell = (unsteady_c * unsteady_cell
                          + conv_c * convection_cell
                          + gradp_c * grad_p_cell

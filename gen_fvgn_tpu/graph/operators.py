@@ -92,8 +92,9 @@ class MeshOperators:
     edge_diff: LinOp    # [E←N] x[s] − x[r]
     scat_r: LinOp       # [N←E]
     scat_s: LinOp       # [N←E]
-    # WLSQ folded gradient operator
-    wlsq: LinOp         # [N·k ← N]
+    # WLSQ folded gradient operator (gradient rows q=0,1 only — the live
+    # residual path never consumes higher moments)
+    wlsq: LinOp         # [N·2 ← N]
     # FV interpolation / accumulation
     n2c_m0: LinOp       # [Nc←N] cell mean
     n2c_mx: LinOp       # [Nc←N] mean of r_x ·
@@ -144,7 +145,7 @@ def build_mesh_operators(mesh: Dict[str, np.ndarray], order: str,
     np_pad = sizes.n_nodes
     e_pad = sizes.n_faces
     c_pad = sizes.n_cells
-    nk_pad = _pad_to(np_pad * k, tile)
+    nk_pad = _pad_to(np_pad * 2, tile)   # gradient rows only (see below)
 
     s, r = face_node[0], face_node[1]
 
@@ -180,17 +181,24 @@ def build_mesh_operators(mesh: Dict[str, np.ndarray], order: str,
     ss, rr = stencil[0], stencil[1]
     row_fwd = wB * colscale[rr]                     # [Es, k]
     row_rev = (wB * signs) * colscale[ss]
-    sv_fwd = np.einsum("eql,el->eq", S[rr], row_fwd)  # [Es, k]
-    sv_rev = np.einsum("eql,el->eq", S[ss], row_rev)
+    # Only the gradient rows (q=0,1) are folded: the live residual path
+    # never consumes the Hessian (reference parity — the Hessian term is
+    # disabled, /root/reference/src/FVMmodel/FVdiscretization/FVscheme.py:668
+    # — and conserved/non-conserved forms use first derivatives only), so
+    # emitting k rows would multiply operator storage and HBM traffic by
+    # k/2 for discarded outputs.
+    n_q = 2
+    sv_fwd = np.einsum("eql,el->eq", S[rr][:, :n_q], row_fwd)  # [Es, 2]
+    sv_rev = np.einsum("eql,el->eq", S[ss][:, :n_q], row_rev)
 
-    es_n = ss.shape[0]
-    qs = np.arange(k)
-    # rows (target*k + q), 4 groups: (r,s,+f), (r,r,-f), (s,r,+v), (s,s,-v)
+    qs = np.arange(n_q)
+    # rows (target*2 + q), 4 groups: (r,s,+f), (r,r,-f), (s,r,+v), (s,s,-v)
     def _rows(tgt):
-        return (tgt[:, None] * k + qs[None, :]).reshape(-1)
+        return (tgt[:, None] * n_q + qs[None, :]).reshape(-1)
     wl_rows = np.concatenate([_rows(rr), _rows(rr), _rows(ss), _rows(ss)])
     wl_cols = np.concatenate([
-        np.repeat(ss, k), np.repeat(rr, k), np.repeat(rr, k), np.repeat(ss, k)])
+        np.repeat(ss, n_q), np.repeat(rr, n_q),
+        np.repeat(rr, n_q), np.repeat(ss, n_q)])
     wl_vals = np.concatenate([
         sv_fwd.reshape(-1), -sv_fwd.reshape(-1),
         sv_rev.reshape(-1), -sv_rev.reshape(-1)])

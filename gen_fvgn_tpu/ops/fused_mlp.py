@@ -172,8 +172,18 @@ def _const_spec(shape):
     return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
 
 
-def _tile_spec(cols):
-    return pl.BlockSpec((TILE_M, cols), lambda i: (i, 0),
+def _pick_tile_m(m: int) -> int:
+    """Largest supported M-tile that divides m — avoids materialized pad
+    copies around every kernel call (measured ~10 ms/step on the bench
+    workload when TILE_M forced 512-padding of 256-aligned arrays)."""
+    for t in (512, 256, 128):
+        if m % t == 0:
+            return t
+    return TILE_M
+
+
+def _tile_spec(cols, tile_m=TILE_M):
+    return pl.BlockSpec((tile_m, cols), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -198,18 +208,19 @@ def _fused_fwd(parts, w1s, b1, w2, b2, w3, b3, gamma, beta, pres=()):
     m = parts[0].shape[0]
     h = w2.shape[0]
     d = w3.shape[1]
-    grid = (m // TILE_M,)
+    tm = _pick_tile_m(m)
+    grid = (m // tm,)
     out = pl.pallas_call(
         _make_fwd_kernel(n_parts, n_pre),
         grid=grid,
         in_specs=(
-            [_tile_spec(p.shape[1]) for p in parts]
+            [_tile_spec(p.shape[1], tm) for p in parts]
             + [_const_spec(w.shape) for w in w1s]
-            + [_tile_spec(h) for _ in pres]
+            + [_tile_spec(h, tm) for _ in pres]
             + [_const_spec((1, h)), _const_spec((h, h)), _const_spec((1, h)),
                _const_spec((h, d)), _const_spec((1, d)),
                _const_spec((1, d)), _const_spec((1, d))]),
-        out_specs=_tile_spec(d),
+        out_specs=_tile_spec(d, tm),
         out_shape=jax.ShapeDtypeStruct((m, d), parts[0].dtype),
         interpret=_interpret(),
     )(*parts, *w1s, *pres, b1, w2, b2, w3, b3, gamma, beta)
@@ -223,21 +234,22 @@ def _fused_bwd(res, g):
     m = parts[0].shape[0]
     h = w2.shape[0]
     d = w3.shape[1]
-    n_tiles = m // TILE_M
+    tm = _pick_tile_m(m)
+    n_tiles = m // tm
     f32 = jnp.float32
     outs = pl.pallas_call(
         _make_bwd_kernel(n_parts, n_pre),
         grid=(n_tiles,),
         in_specs=(
-            [_tile_spec(p.shape[1]) for p in parts]
+            [_tile_spec(p.shape[1], tm) for p in parts]
             + [_const_spec(w.shape) for w in w1s]
-            + [_tile_spec(h) for _ in pres]
+            + [_tile_spec(h, tm) for _ in pres]
             + [_const_spec((1, h)), _const_spec((h, h)), _const_spec((1, h)),
                _const_spec((h, d)), _const_spec((1, d)), _const_spec((1, d))]
-            + [_tile_spec(d)]),
+            + [_tile_spec(d, tm)]),
         out_specs=(
-            [_tile_spec(p.shape[1]) for p in parts]
-            + [_tile_spec(h) for _ in pres]
+            [_tile_spec(p.shape[1], tm) for p in parts]
+            + [_tile_spec(h, tm) for _ in pres]
             + [_part_spec(w.shape[0], h) for w in w1s]
             + [_part_spec(1, h), _part_spec(h, h), _part_spec(1, h),
                _part_spec(h, d), _part_spec(1, d),
@@ -291,7 +303,7 @@ def fused_mlp_ln_parts(parts: Sequence[jnp.ndarray], w1, b1, w2, b2, w3, b3,
             offs.append(offs[-1] + w)
         w1_rows = [(offs[i], offs[i + 1]) for i in range(len(parts))]
     m = parts[0].shape[0] if parts else pres[0].shape[0]
-    m_pad = ((m + TILE_M - 1) // TILE_M) * TILE_M
+    m_pad = ((m + 255) // 256) * 256
 
     parts16, w1s = [], []
     for i, p in enumerate(parts):

@@ -67,11 +67,13 @@ def test_wlsq_operator_matches_segment_path(setup):
     ref = node_based_wlsq_precomputed(
         phi, sample0.stencil, sample0.wlsq_S, sample0.wlsq_B, cfg.order,
         colscale=sample0.wlsq_scale, stencil_mask=sample0.stencil_mask)
-    k = WLSQ_DIM[cfg.order]
-    blk = apply_linop(static.ops.wlsq, phi).reshape(-1, k, 7)
-    blk = jnp.swapaxes(blk, 1, 2)                    # [N, 7, k]
+    # the folded operator emits the GRADIENT rows only (q=0,1) — the live
+    # residual path never consumes higher moments
+    blk = apply_linop(static.ops.wlsq, phi).reshape(-1, 2, 7)
+    blk = jnp.swapaxes(blk, 1, 2)                    # [N, 7, 2]
     real = np.asarray(sample0.node_mask)
-    np.testing.assert_allclose(np.asarray(blk)[real], np.asarray(ref)[real],
+    np.testing.assert_allclose(np.asarray(blk)[real],
+                               np.asarray(ref)[real][..., 0:2],
                                rtol=2e-3, atol=2e-4)
 
 
