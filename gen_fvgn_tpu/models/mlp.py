@@ -97,13 +97,23 @@ class Mlp(nn.Module):
             from gen_fvgn_tpu.ops.blocksparse import apply_linop
             from gen_fvgn_tpu.ops.fused_mlp import fused_mlp_ln_parts
             (w1, b1), (w2, b2) = hidden
-            pre = None
+            # group Gathered parts by source so same-src projections run as
+            # ONE matmul (the EdgeBlock's sender/receiver W1 slices share
+            # the neighbour aggregate)
+            groups = {}
             for i, p in enumerate(parts):
                 if isinstance(p, Gathered):
-                    w1p = w1[offs[i]:offs[i + 1]].astype(dt)
-                    ya = jnp.dot(p.src.astype(dt), w1p,
-                                 preferred_element_type=dt)
-                    contrib = apply_linop(p.op, ya)
+                    groups.setdefault(id(p.src), []).append((i, p))
+            pre = None
+            for items in groups.values():
+                src = items[0][1].src.astype(dt)
+                w1cat = jnp.concatenate(
+                    [w1[offs[i]:offs[i + 1]] for i, _ in items],
+                    axis=-1).astype(dt)
+                y = jnp.dot(src, w1cat, preferred_element_type=dt)
+                h = self.hidden_size
+                for j, (i, p) in enumerate(items):
+                    contrib = apply_linop(p.op, y[:, j * h:(j + 1) * h])
                     pre = contrib if pre is None else pre + contrib
             return fused_mlp_ln_parts(
                 [p for p, _ in plain], w1, b1, w2, b2, w_out, b_out,

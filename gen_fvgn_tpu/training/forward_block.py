@@ -51,6 +51,10 @@ def forward_batch_block(
     x = jnp.concatenate([phi, theta_ch], axis=-1)
 
     def per_sample(x_one, dyn_one):
+        # NOTE: the θ channels of dx are identically zero (per-graph
+        # constants), but splitting them out as narrow parts LOSES on TPU —
+        # sub-128-lane arrays are lane-padded, so two [E,3] streams cost
+        # more HBM traffic than one [E,15] (measured -0.5 steps/s)
         dx = apply_linop(static.ops.edge_diff, x_one)          # [E,12]
         edge_attr = jnp.concatenate([dx, static.edge_pos_feat], axis=-1)
         uvp_new = simulator_apply(params, x_one, edge_attr, static)
