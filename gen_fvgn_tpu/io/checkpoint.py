@@ -58,21 +58,48 @@ def load_state(path: str, like: Optional[Any] = None) -> Any:
     return jax.tree_util.tree_unflatten(like_def, leaves)
 
 
+def _has_sharded_leaf(tree: Any) -> bool:
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if isinstance(leaf, jax.Array) and len(leaf.sharding.device_set) > 1:
+            return True
+    return False
+
+
 def save_state_orbax(state: Any, path: str) -> None:
     """Orbax-backed save (preemption-safe atomic directory writes; the
-    TPU-idiomatic upgrade SURVEY.md §5 calls for). `path` is a directory."""
+    TPU-idiomatic upgrade SURVEY.md §5 calls for). `path` is a directory.
+
+    Distributed-aware: when the state holds multi-device (dp-sharded)
+    arrays or the run spans multiple hosts, the jax.Arrays are passed to
+    orbax directly — every host serializes exactly the shards it owns, no
+    host ever materializes the full array. Single-process unsharded states
+    are pulled to host numpy first (cheap, keeps files identical across
+    backends)."""
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.abspath(path), _to_host(state), force=True)
+    if jax.process_count() > 1 or _has_sharded_leaf(state):
+        tree = state
+    else:
+        tree = _to_host(state)
+    ckptr.save(os.path.abspath(path), tree, force=True)
     ckptr.wait_until_finished()
 
 
 def load_state_orbax(path: str, like: Optional[Any] = None) -> Any:
     """Keyed restore: orbax matches stored arrays to `like` by pytree path,
-    so structural drift (renamed module, reordered field) fails loudly."""
+    so structural drift (renamed module, reordered field) fails loudly.
+
+    When `like` carries sharded jax.Arrays (or the run is multi-host), the
+    restore target preserves each leaf's sharding — orbax reads only the
+    shards local to this host and reassembles the global arrays in place."""
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
-    target = _to_host(like) if like is not None else None
+    if like is None:
+        target = None
+    elif jax.process_count() > 1 or _has_sharded_leaf(like):
+        target = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, like)
+    else:
+        target = _to_host(like)
     return ckptr.restore(os.path.abspath(path), target=target)
 
 
@@ -93,7 +120,7 @@ class RotatingCheckpointer:
         path = os.path.join(self.states_dir, f"{epoch % self.keep}.state")
         if self.backend == "orbax":
             try:
-                if os.path.isfile(path):
+                if os.path.isfile(path) and jax.process_index() == 0:
                     os.remove(path)  # replacing an old pickle slot
                 save_state_orbax(state, path)
                 return path
