@@ -32,7 +32,11 @@ class EdgeBlockB(nn.Module):
         # gathering first (row gathers commute with the right-matmul),
         # ~30% faster: the W1 matmuls run at node, not edge, cardinality
         # and the [E, h] agg_s/agg_r streams never hit HBM.
+        # residual_dual: the kernel epilogue emits BOTH the raw edge update
+        # (consumed by the NodeBlock) and edge_attr + update (the residual
+        # stream) — the separate stream add never touches HBM
         return Mlp(self.hidden_size, self.hidden_size, dtype=self.dtype,
+                   residual_part=2, residual_dual=True,
                    name="edge_mlp")((Gathered(agg, ops.gather_s),
                                      Gathered(agg, ops.gather_r), edge_attr))
 
@@ -52,7 +56,9 @@ class NodeBlockB(nn.Module):
         # bytes of a bandwidth-bound tensor
         inv_deg = (1.0 / jnp.maximum(ops.deg, 1.0)).astype(nbr_sum.dtype)
         nbr_avg = nbr_sum * inv_deg
+        # residual folded into the MLP epilogue (node_x is already a part)
         return Mlp(self.hidden_size, self.hidden_size, dtype=self.dtype,
+                   residual_part=1,
                    name="node_mlp")((nbr_avg, node_x))
 
 
@@ -62,8 +68,9 @@ class GnBlockB(nn.Module):
 
     @nn.compact
     def __call__(self, node_x, edge_attr, static: StaticPack):
-        edge_new = EdgeBlockB(self.hidden_size, self.dtype,
-                              name="edge_block")(node_x, edge_attr, static)
-        node_new = NodeBlockB(self.hidden_size, self.dtype,
-                              name="node_block")(node_x, edge_new, static)
-        return node_x + node_new, edge_attr + edge_new
+        edge_new, edge_stream = EdgeBlockB(
+            self.hidden_size, self.dtype,
+            name="edge_block")(node_x, edge_attr, static)
+        node_stream = NodeBlockB(self.hidden_size, self.dtype,
+                                 name="node_block")(node_x, edge_new, static)
+        return node_stream, edge_stream

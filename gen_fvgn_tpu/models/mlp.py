@@ -67,6 +67,13 @@ class Mlp(nn.Module):
     num_hidden_layers: int = 2
     layer_norm: bool = True
     dtype: Optional[jnp.dtype] = None   # activation/matmul dtype (bf16 capable)
+    # residual epilogue: add parts[residual_part] to the output. With
+    # residual_dual the call returns (out, out + residual) — the GraphNet
+    # edge path needs both; otherwise just out + residual. The fused kernel
+    # emits the sum from VMEM for free (the residual is already an input
+    # part), replacing a separate [M, D] read-read-write add.
+    residual_part: Optional[int] = None
+    residual_dual: bool = False
 
     @nn.compact
     def __call__(self, x) -> jnp.ndarray:
@@ -115,11 +122,16 @@ class Mlp(nn.Module):
                 for j, (i, p) in enumerate(items):
                     contrib = apply_linop(p.op, y[:, j * h:(j + 1) * h])
                     pre = contrib if pre is None else pre + contrib
+            res_plain = None
+            if self.residual_part is not None:
+                res_plain = [i for i, (p, _) in enumerate(plain)
+                             if p is parts[self.residual_part]][0]
             return fused_mlp_ln_parts(
                 [p for p, _ in plain], w1, b1, w2, b2, w_out, b_out,
                 ln[0], ln[1], dtype=dt,
                 pres=() if pre is None else (pre,),
-                w1_rows=[rows for _, rows in plain])
+                w1_rows=[rows for _, rows in plain],
+                res_idx=res_plain, res_dual=self.residual_dual)
 
         if any(isinstance(p, Gathered) for p in parts):
             from gen_fvgn_tpu.ops.blocksparse import apply_linop
@@ -144,6 +156,9 @@ class Mlp(nn.Module):
             else:
                 h = _layer_norm(h.astype(jnp.float32), ln[0], ln[1],
                                 out_dtype=jnp.float32)
+        if self.residual_part is not None:
+            res = parts[self.residual_part]
+            return (h, h + res) if self.residual_dual else h + res
         return h
 
 

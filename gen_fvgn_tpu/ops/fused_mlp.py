@@ -9,29 +9,42 @@ tile once, keeps h1/h2/y in VMEM, and writes only the normalized output.
 The kernel takes the first layer's input as PARTS (the GraphNet blocks feed
 `concat([agg_s, agg_r, edge_attr])`-style inputs): W1·concat(parts) =
 Σ W1ᵢ·partᵢ, so the concatenation never materializes in HBM — without this
-the concat write+read cancels the fusion win (measured: a wash).
+the concat write+read cancels the fusion win (measured: a wash). `pres` are
+inputs already projected into the h1pre basis (the Gathered-part
+restructure: node-side projection, then row-gather).
 
-Forward: y = LN(W3·gelu(W2·gelu(Σ W1ᵢxᵢ + b1) + b2) + b3) with flax
-semantics (tanh-approximate GELU, fast-variance LayerNorm, f32 stats,
+Residual fusion: the GraphNet blocks add a residual that is itself one of
+the kernel's input parts (node MLP: + node_x; edge MLP: + edge_attr), so
+the epilogue can emit it for free from VMEM. `res_idx` selects the part;
+`res_dual=False` replaces the output with out+res (node path — only the
+residual sum is consumed downstream), `res_dual=True` emits BOTH (edge
+path — the raw edge update feeds the NodeBlock, the sum feeds the stream).
+
+Forward: y = LN(W3·gelu(W2·gelu(Σ W1ᵢxᵢ + Σ pres + b1) + b2) + b3) with
+flax semantics (tanh-approximate GELU, fast-variance LayerNorm, f32 stats,
 bf16 stream).
 
 Backward: a second kernel recomputes the forward per M-tile in VMEM (remat
-is free — the backward is bandwidth-bound too) and emits per-tile PARTIAL
-dW/db/dγ/dβ sums while streaming per-part dx; the partials are reduced with
-one jnp.sum outside. Per-tile partials (not cross-grid accumulation) keep
-the kernel correct under jax.vmap's pallas batching rule, which prepends a
-batch grid dimension.
+is free — the backward is bandwidth-bound too) and ACCUMULATES dW/db/dγ/dβ
+across the tile grid into single output blocks (init at tile 0, add on
+revisits — Mosaic keeps a constant-index output block resident in VMEM
+across sequential grid steps). Under jax.vmap the batch dim is prepended
+to the grid, giving each batch lane its own accumulator block; the [B,...]
+partials are summed outside. This replaces the old per-tile partial arrays
+(~60 MB of f32 partials + a separate reduction per backward call on the
+bench workload).
 
 All refs are ≥2-D (TPU lowering constraint for batched 1-D outputs). Part
-widths must be lane-aligned (%128) or equal to the full array dim; M must
-be a TILE_M multiple (the block engine pads to 256 by construction). On
-non-TPU backends `interpret=True` keeps the same code path testable.
+widths must be lane-aligned (%128) or <128; M must be a 256 multiple (the
+M-tile adapts 512/256 to divide M — a mismatch costs materialized pad
+copies, measured ~10 ms/step). On non-TPU backends `interpret=True` keeps
+the same code path testable.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -80,13 +93,15 @@ def _ln_stats(y):
     return mu, rstd
 
 
-def _make_fwd_kernel(n_parts: int, n_pre: int = 0):
+def _make_fwd_kernel(n_parts: int, n_pre: int, res_idx: Optional[int],
+                     res_dual: bool):
     def kernel(*refs):
         parts = [r[:] for r in refs[:n_parts]]
         w1s = [r[:] for r in refs[n_parts:2 * n_parts]]
         pres = refs[2 * n_parts:2 * n_parts + n_pre]
-        b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, g_ref, be_ref, out_ref = \
-            refs[2 * n_parts + n_pre:]
+        (b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, g_ref, be_ref) = \
+            refs[2 * n_parts + n_pre:2 * n_parts + n_pre + 7]
+        out_refs = refs[2 * n_parts + n_pre + 7:]
         b1 = b1_ref[:].astype(jnp.float32)
         for p in pres:
             b1 = b1 + p[:].astype(jnp.float32)
@@ -97,23 +112,34 @@ def _make_fwd_kernel(n_parts: int, n_pre: int = 0):
         mu, rstd = _ln_stats(y)
         out = (y - mu) * rstd * g_ref[:].astype(jnp.float32) \
             + be_ref[:].astype(jnp.float32)
-        out_ref[:] = out.astype(out_ref.dtype)
+        out16 = out.astype(out_refs[0].dtype)
+        if res_idx is None:
+            out_refs[0][:] = out16
+        elif res_dual:
+            out_refs[0][:] = out16
+            out_refs[1][:] = out16 + parts[res_idx]
+        else:
+            out_refs[0][:] = out16 + parts[res_idx]
     return kernel
 
 
-def _make_bwd_kernel(n_parts: int, n_pre: int = 0):
+def _make_bwd_kernel(n_parts: int, n_pre: int, res_idx: Optional[int],
+                     res_dual: bool):
+    n_dout = 2 if (res_idx is not None and res_dual) else 1
+
     def kernel(*refs):
         parts = [r[:] for r in refs[:n_parts]]
         w1s = [r[:] for r in refs[n_parts:2 * n_parts]]
         pres = refs[2 * n_parts:2 * n_parts + n_pre]
-        (b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, g_ref, dout_ref) = \
-            refs[2 * n_parts + n_pre:2 * n_parts + n_pre + 7]
-        outs = refs[2 * n_parts + n_pre + 7:]
+        base = 2 * n_parts + n_pre
+        (b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, g_ref) = refs[base:base + 6]
+        dout_refs = refs[base + 6:base + 6 + n_dout]
+        outs = refs[base + 6 + n_dout:]
         dx_refs = outs[:n_parts]
         dpre_refs = outs[n_parts:n_parts + n_pre]
-        pdw1_refs = outs[n_parts + n_pre:2 * n_parts + n_pre]
-        (pdb1_ref, pdw2_ref, pdb2_ref, pdw3_ref, pdb3_ref, pdg_ref,
-         pdbe_ref) = outs[2 * n_parts + n_pre:]
+        acc = outs[n_parts + n_pre:]
+        (adw1s, (adb1_ref, adw2_ref, adb2_ref, adw3_ref, adb3_ref, adg_ref,
+                 adbe_ref)) = acc[:n_parts], acc[n_parts:]
 
         gamma = g_ref[:].astype(jnp.float32)                 # [1, D]
         b1 = b1_ref[:].astype(jnp.float32)
@@ -125,10 +151,27 @@ def _make_bwd_kernel(n_parts: int, n_pre: int = 0):
             w3_ref[:], b3_ref[:].astype(jnp.float32))
         mu, rstd = _ln_stats(y)
         xhat = (y - mu) * rstd                               # [T, D]
-        g = dout_ref[:].astype(jnp.float32)
 
-        pdg_ref[0] = jnp.sum(g * xhat, axis=0, keepdims=True)
-        pdbe_ref[0] = jnp.sum(g, axis=0, keepdims=True)
+        # residual routing: the LN output cotangent is the SUM of the raw
+        # and residual-sum cotangents; the residual part additionally
+        # receives the residual-sum cotangent directly
+        g = dout_refs[0][:].astype(jnp.float32)
+        if res_idx is not None and res_dual:
+            g = g + dout_refs[1][:].astype(jnp.float32)
+
+        is_first = pl.program_id(0) == 0
+
+        def accum(ref, val):
+            @pl.when(is_first)
+            def _():
+                ref[...] = val
+
+            @pl.when(jnp.logical_not(is_first))
+            def _():
+                ref[...] = ref[...] + val
+
+        accum(adg_ref, jnp.sum(g * xhat, axis=0, keepdims=True))
+        accum(adbe_ref, jnp.sum(g, axis=0, keepdims=True))
 
         # LayerNorm backward: dy = rstd*(gx - mean(gx) - xhat*mean(gx*xhat))
         gx = g * gamma
@@ -138,28 +181,32 @@ def _make_bwd_kernel(n_parts: int, n_pre: int = 0):
 
         dt = parts[0].dtype
         dy16 = dy.astype(dt)
-        pdw3_ref[0] = jnp.dot(h2.astype(dt).T, dy16,
-                              preferred_element_type=jnp.float32)
-        pdb3_ref[0] = jnp.sum(dy, axis=0, keepdims=True)
+        accum(adw3_ref, jnp.dot(h2.astype(dt).T, dy16,
+                                preferred_element_type=jnp.float32))
+        accum(adb3_ref, jnp.sum(dy, axis=0, keepdims=True))
         dh2 = jnp.dot(dy16, w3_ref[:].T, preferred_element_type=jnp.float32)
         dh2pre = dh2 * _gelu_tanh_grad(h2pre)
         dh2pre16 = dh2pre.astype(dt)
-        pdw2_ref[0] = jnp.dot(h1.astype(dt).T, dh2pre16,
-                              preferred_element_type=jnp.float32)
-        pdb2_ref[0] = jnp.sum(dh2pre, axis=0, keepdims=True)
+        accum(adw2_ref, jnp.dot(h1.astype(dt).T, dh2pre16,
+                                preferred_element_type=jnp.float32))
+        accum(adb2_ref, jnp.sum(dh2pre, axis=0, keepdims=True))
         dh1 = jnp.dot(dh2pre16, w2_ref[:].T,
                       preferred_element_type=jnp.float32)
         dh1pre = dh1 * _gelu_tanh_grad(h1pre)
         dh1pre16 = dh1pre.astype(dt)
-        pdb1_ref[0] = jnp.sum(dh1pre, axis=0, keepdims=True)
+        accum(adb1_ref, jnp.sum(dh1pre, axis=0, keepdims=True))
         for dpre_ref in dpre_refs:
             dpre_ref[:] = dh1pre.astype(dpre_ref.dtype)
-        for xp, w1p, dx_ref, pdw1_ref in zip(parts, w1s, dx_refs, pdw1_refs):
-            pdw1_ref[0] = jnp.dot(xp.T, dh1pre16,
-                                  preferred_element_type=jnp.float32)
-            dx_ref[:] = jnp.dot(dh1pre16, w1p.T,
-                                preferred_element_type=jnp.float32
-                                ).astype(dx_ref.dtype)
+        for i, (xp, w1p, dx_ref, adw1_ref) in enumerate(
+                zip(parts, w1s, dx_refs, adw1s)):
+            accum(adw1_ref, jnp.dot(xp.T, dh1pre16,
+                                    preferred_element_type=jnp.float32))
+            dx = jnp.dot(dh1pre16, w1p.T,
+                         preferred_element_type=jnp.float32)
+            if res_idx == i:
+                dres = dout_refs[1][:] if res_dual else dout_refs[0][:]
+                dx = dx + dres.astype(jnp.float32)
+            dx_ref[:] = dx.astype(dx_ref.dtype)
     return kernel
 
 
@@ -187,106 +234,118 @@ def _tile_spec(cols, tile_m=TILE_M):
                         memory_space=pltpu.VMEM)
 
 
-def _part_spec(a, b):
-    return pl.BlockSpec((1, a, b), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
+@functools.lru_cache(maxsize=None)
+def _make_fused_fn(res_idx: Optional[int], res_dual: bool):
+    """custom_vjp instance per residual configuration (static)."""
+
+    @jax.custom_vjp
+    def fused(parts, w1s, b1, w2, b2, w3, b3, gamma, beta, pres):
+        out, _ = fwd(parts, w1s, b1, w2, b2, w3, b3, gamma, beta, pres)
+        return out
+
+    def fwd(parts, w1s, b1, w2, b2, w3, b3, gamma, beta, pres):
+        n_parts, n_pre = len(parts), len(pres)
+        m = parts[0].shape[0]
+        h = w2.shape[0]
+        d = w3.shape[1]
+        tm = _pick_tile_m(m)
+        n_out = 2 if (res_idx is not None and res_dual) else 1
+        out = pl.pallas_call(
+            _make_fwd_kernel(n_parts, n_pre, res_idx, res_dual),
+            grid=(m // tm,),
+            in_specs=(
+                [_tile_spec(p.shape[1], tm) for p in parts]
+                + [_const_spec(w.shape) for w in w1s]
+                + [_tile_spec(h, tm) for _ in pres]
+                + [_const_spec((1, h)), _const_spec((h, h)),
+                   _const_spec((1, h)), _const_spec((h, d)),
+                   _const_spec((1, d)), _const_spec((1, d)),
+                   _const_spec((1, d))]),
+            out_specs=[_tile_spec(d, tm)] * n_out,
+            out_shape=[jax.ShapeDtypeStruct((m, d), parts[0].dtype)] * n_out,
+            interpret=_interpret(),
+        )(*parts, *w1s, *pres, b1, w2, b2, w3, b3, gamma, beta)
+        res = (parts, w1s, b1, w2, b2, w3, b3, gamma, pres)
+        return (tuple(out) if n_out == 2 else out[0]), res
+
+    def bwd(res, g):
+        parts, w1s, b1, w2, b2, w3, b3, gamma, pres = res
+        n_parts, n_pre = len(parts), len(pres)
+        m = parts[0].shape[0]
+        h = w2.shape[0]
+        d = w3.shape[1]
+        tm = _pick_tile_m(m)
+        douts = tuple(g) if isinstance(g, tuple) else (g,)
+        f32 = jnp.float32
+
+        def _acc_spec(shape):
+            nd = len(shape)
+            return pl.BlockSpec(shape, lambda i: (0,) * nd,
+                                memory_space=pltpu.VMEM)
+
+        outs = pl.pallas_call(
+            _make_bwd_kernel(n_parts, n_pre, res_idx, res_dual),
+            grid=(m // tm,),
+            in_specs=(
+                [_tile_spec(p.shape[1], tm) for p in parts]
+                + [_const_spec(w.shape) for w in w1s]
+                + [_tile_spec(h, tm) for _ in pres]
+                + [_const_spec((1, h)), _const_spec((h, h)),
+                   _const_spec((1, h)), _const_spec((h, d)),
+                   _const_spec((1, d)), _const_spec((1, d))]
+                + [_tile_spec(d, tm)] * len(douts)),
+            out_specs=(
+                [_tile_spec(p.shape[1], tm) for p in parts]
+                + [_tile_spec(h, tm) for _ in pres]
+                + [_acc_spec(w.shape) for w in w1s]
+                + [_acc_spec((1, h)), _acc_spec((h, h)), _acc_spec((1, h)),
+                   _acc_spec((h, d)), _acc_spec((1, d)),
+                   _acc_spec((1, d)), _acc_spec((1, d))]),
+            out_shape=(
+                [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in parts]
+                + [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in pres]
+                + [jax.ShapeDtypeStruct(w.shape, f32) for w in w1s]
+                + [jax.ShapeDtypeStruct((1, h), f32),
+                   jax.ShapeDtypeStruct((h, h), f32),
+                   jax.ShapeDtypeStruct((1, h), f32),
+                   jax.ShapeDtypeStruct((h, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32)]),
+            interpret=_interpret(),
+        )(*parts, *w1s, *pres, b1, w2, b2, w3, b3, gamma, *douts)
+        dxs = tuple(outs[:n_parts])
+        dpres = tuple(outs[n_parts:n_parts + n_pre])
+        grads = outs[n_parts + n_pre:]
+        dw1s = grads[:n_parts]
+        db1, dw2, db2, dw3, db3, dg, dbe = grads[n_parts:]
+        cast = lambda t, like: t.astype(like.dtype)
+        return (dxs,
+                tuple(cast(p, w) for p, w in zip(dw1s, w1s)),
+                cast(db1, b1), cast(dw2, w2), cast(db2, b2),
+                cast(dw3, w3), cast(db3, b3), cast(dg, gamma),
+                cast(dbe, gamma), dpres)
+
+    fused.defvjp(fwd, bwd)
+    return fused
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def fused_mlp_ln(parts, w1s, b1, w2, b2, w3, b3, gamma, beta, pres=()):
+def fused_mlp_ln(parts, w1s, b1, w2, b2, w3, b3, gamma, beta, pres=(),
+                 res_idx: Optional[int] = None, res_dual: bool = False):
     """parts: tuple of [M, kᵢ]; w1s: tuple of [kᵢ, H]; biases/γ/β [1, ·];
-    pres: tuple of already-projected [M, H] inputs added into the first
-    pre-activation (h1pre += Σ pres — the GraphNet gather restructure).
-    Returns LN(MLP(concat(parts))) [M, D]."""
-    out, _ = _fused_fwd(parts, w1s, b1, w2, b2, w3, b3, gamma, beta, pres)
-    return out
-
-
-def _fused_fwd(parts, w1s, b1, w2, b2, w3, b3, gamma, beta, pres=()):
-    n_parts = len(parts)
-    n_pre = len(pres)
-    m = parts[0].shape[0]
-    h = w2.shape[0]
-    d = w3.shape[1]
-    tm = _pick_tile_m(m)
-    grid = (m // tm,)
-    out = pl.pallas_call(
-        _make_fwd_kernel(n_parts, n_pre),
-        grid=grid,
-        in_specs=(
-            [_tile_spec(p.shape[1], tm) for p in parts]
-            + [_const_spec(w.shape) for w in w1s]
-            + [_tile_spec(h, tm) for _ in pres]
-            + [_const_spec((1, h)), _const_spec((h, h)), _const_spec((1, h)),
-               _const_spec((h, d)), _const_spec((1, d)),
-               _const_spec((1, d)), _const_spec((1, d))]),
-        out_specs=_tile_spec(d, tm),
-        out_shape=jax.ShapeDtypeStruct((m, d), parts[0].dtype),
-        interpret=_interpret(),
-    )(*parts, *w1s, *pres, b1, w2, b2, w3, b3, gamma, beta)
-    return out, (parts, w1s, b1, w2, b2, w3, b3, gamma, pres)
-
-
-def _fused_bwd(res, g):
-    parts, w1s, b1, w2, b2, w3, b3, gamma, pres = res
-    n_parts = len(parts)
-    n_pre = len(pres)
-    m = parts[0].shape[0]
-    h = w2.shape[0]
-    d = w3.shape[1]
-    tm = _pick_tile_m(m)
-    n_tiles = m // tm
-    f32 = jnp.float32
-    outs = pl.pallas_call(
-        _make_bwd_kernel(n_parts, n_pre),
-        grid=(n_tiles,),
-        in_specs=(
-            [_tile_spec(p.shape[1], tm) for p in parts]
-            + [_const_spec(w.shape) for w in w1s]
-            + [_tile_spec(h, tm) for _ in pres]
-            + [_const_spec((1, h)), _const_spec((h, h)), _const_spec((1, h)),
-               _const_spec((h, d)), _const_spec((1, d)), _const_spec((1, d))]
-            + [_tile_spec(d, tm)]),
-        out_specs=(
-            [_tile_spec(p.shape[1], tm) for p in parts]
-            + [_tile_spec(h, tm) for _ in pres]
-            + [_part_spec(w.shape[0], h) for w in w1s]
-            + [_part_spec(1, h), _part_spec(h, h), _part_spec(1, h),
-               _part_spec(h, d), _part_spec(1, d),
-               _part_spec(1, d), _part_spec(1, d)]),
-        out_shape=(
-            [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in parts]
-            + [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in pres]
-            + [jax.ShapeDtypeStruct((n_tiles,) + w.shape, f32) for w in w1s]
-            + [jax.ShapeDtypeStruct((n_tiles, 1, h), f32),
-               jax.ShapeDtypeStruct((n_tiles, h, h), f32),
-               jax.ShapeDtypeStruct((n_tiles, 1, h), f32),
-               jax.ShapeDtypeStruct((n_tiles, h, d), f32),
-               jax.ShapeDtypeStruct((n_tiles, 1, d), f32),
-               jax.ShapeDtypeStruct((n_tiles, 1, d), f32),
-               jax.ShapeDtypeStruct((n_tiles, 1, d), f32)]),
-        interpret=_interpret(),
-    )(*parts, *w1s, *pres, b1, w2, b2, w3, b3, gamma, g)
-    dxs = tuple(outs[:n_parts])
-    dpres = tuple(outs[n_parts:n_parts + n_pre])
-    pdw1s = outs[n_parts + n_pre:2 * n_parts + n_pre]
-    pdb1, pdw2, pdb2, pdw3, pdb3, pdg, pdbe = outs[2 * n_parts + n_pre:]
-    cast = lambda t, like: t.astype(like.dtype)
-    return (dxs,
-            tuple(cast(p.sum(0), w) for p, w in zip(pdw1s, w1s)),
-            cast(pdb1.sum(0), b1), cast(pdw2.sum(0), w2),
-            cast(pdb2.sum(0), b2), cast(pdw3.sum(0), w3),
-            cast(pdb3.sum(0), b3), cast(pdg.sum(0), gamma),
-            cast(pdbe.sum(0), gamma), dpres)
-
-
-fused_mlp_ln.defvjp(_fused_fwd, _fused_bwd)
+    pres: tuple of already-projected [M, H] h1pre contributions.
+    res_idx/res_dual: residual-epilogue config (see module docstring).
+    Returns LN(MLP(...)) [M, D]; with res_dual also the residual sum."""
+    return _make_fused_fn(res_idx, res_dual)(
+        parts, w1s, b1, w2, b2, w3, b3, gamma, beta, tuple(pres))
 
 
 def fused_mlp_ln_parts(parts: Sequence[jnp.ndarray], w1, b1, w2, b2, w3, b3,
                        gamma, beta, dtype=jnp.bfloat16,
                        pres: Sequence[jnp.ndarray] = (),
-                       w1_rows: Sequence[Tuple[int, int]] = None):
+                       w1_rows: Sequence[Tuple[int, int]] = None,
+                       res_idx: Optional[int] = None,
+                       res_dual: bool = False):
     """Dispatch wrapper for the model code.
 
     `w1` is the FULL first-layer kernel [(Σkᵢ), H] from the checkpoint tree;
@@ -294,7 +353,7 @@ def fused_mlp_ln_parts(parts: Sequence[jnp.ndarray], w1, b1, w2, b2, w3, b3,
     widths, or by explicit `w1_rows` (o0, o1) spans when some rows of w1
     were consumed by external projections (`pres`, already [M, H] in the
     h1pre basis). Parts whose width is not lane-aligned are zero-padded
-    along K together with their W1 slice. M is zero-padded to a TILE_M
+    along K together with their W1 slice. M is zero-padded to a 256
     multiple. All pads are static."""
     widths = [p.shape[1] for p in parts]
     if w1_rows is None:
@@ -330,5 +389,8 @@ def fused_mlp_ln_parts(parts: Sequence[jnp.ndarray], w1, b1, w2, b2, w3, b3,
     row = lambda v: v.reshape(1, -1)
     out = fused_mlp_ln(tuple(parts16), tuple(w1s), row(b1),
                        w2.astype(dtype), row(b2), w3.astype(dtype), row(b3),
-                       row(gamma), row(beta), tuple(pres16))
-    return out[:m] if m_pad != m else out
+                       row(gamma), row(beta), tuple(pres16),
+                       res_idx=res_idx, res_dual=res_dual)
+    if m_pad != m:
+        out = tuple(o[:m] for o in out) if isinstance(out, tuple) else out[:m]
+    return out

@@ -1,0 +1,149 @@
+"""Direct unit tests of the fused Pallas MLP+LayerNorm kernel
+(ops/fused_mlp.py) against a pure-jnp reference: forward values and ALL
+gradients (inputs, weights, LN params, preprojected inputs, residual
+routing), under both direct calls and jax.vmap (the batching path the
+block engine uses). Runs in interpret mode on CPU — the same kernel code
+compiles via Mosaic on TPU."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gen_fvgn_tpu.ops.fused_mlp import (LN_EPS, fused_mlp_ln,
+                                        fused_mlp_ln_parts)
+
+jax.config.update("jax_enable_x64", False)
+
+
+def _ref(parts, w1s, b1, w2, b2, w3, b3, gamma, beta, pres=(),
+         res_idx=None, res_dual=False):
+    """Pure-jnp reference with the same dtype semantics (f32 accumulation,
+    bf16 stream)."""
+    f32 = jnp.float32
+    h1pre = b1.astype(f32)
+    for p in pres:
+        h1pre = h1pre + p.astype(f32)
+    for xp, w1p in zip(parts, w1s):
+        h1pre = h1pre + jnp.dot(xp, w1p, preferred_element_type=f32)
+    h1 = jax.nn.gelu(h1pre, approximate=True)
+    dt = parts[0].dtype
+    h2pre = jnp.dot(h1.astype(dt), w2, preferred_element_type=f32) \
+        + b2.astype(f32)
+    h2 = jax.nn.gelu(h2pre, approximate=True)
+    y = jnp.dot(h2.astype(dt), w3, preferred_element_type=f32) \
+        + b3.astype(f32)
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(y * y, axis=-1, keepdims=True) - mu * mu, 0.0)
+    out = (y - mu) * jax.lax.rsqrt(var + LN_EPS) * gamma.astype(f32) \
+        + beta.astype(f32)
+    out16 = out.astype(dt)
+    if res_idx is None:
+        return out16
+    if res_dual:
+        return out16, out16 + parts[res_idx]
+    return out16 + parts[res_idx]
+
+
+def _mk(seed, m=512, k=(128, 128), h=128, d=128, n_pre=0):
+    rng = np.random.default_rng(seed)
+    bf16 = jnp.bfloat16
+    arr = lambda *s: jnp.asarray(
+        rng.normal(size=s).astype(np.float32) * 0.3, dtype=bf16)
+    parts = tuple(arr(m, ki) for ki in k)
+    w1s = tuple(arr(ki, h) for ki in k)
+    b1 = arr(1, h); w2 = arr(h, h); b2 = arr(1, h)
+    w3 = arr(h, d); b3 = arr(1, d)
+    gamma = jnp.ones((1, d), bf16); beta = jnp.zeros((1, d), bf16)
+    pres = tuple(arr(m, h) for _ in range(n_pre))
+    return parts, w1s, b1, w2, b2, w3, b3, gamma, beta, pres
+
+
+@pytest.mark.parametrize("n_pre", [0, 1])
+def test_fused_forward_matches_reference(n_pre):
+    args = _mk(0, n_pre=n_pre)
+    out = fused_mlp_ln(*args)
+    ref = _ref(*args)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.05, atol=0.05)
+
+
+@pytest.mark.parametrize("res_idx,res_dual", [(None, False), (1, False),
+                                              (1, True)])
+def test_fused_gradients_match_reference(res_idx, res_dual):
+    args = _mk(1, n_pre=1)
+
+    def loss_fused(a):
+        out = fused_mlp_ln(*a, res_idx=res_idx, res_dual=res_dual)
+        if isinstance(out, tuple):
+            return (jnp.sum(out[0].astype(jnp.float32) ** 2)
+                    + 0.5 * jnp.sum(out[1].astype(jnp.float32) ** 2))
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss_ref(a):
+        out = _ref(*a, res_idx=res_idx, res_dual=res_dual)
+        if isinstance(out, tuple):
+            return (jnp.sum(out[0].astype(jnp.float32) ** 2)
+                    + 0.5 * jnp.sum(out[1].astype(jnp.float32) ** 2))
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    gf = jax.grad(loss_fused)(args)
+    gr = jax.grad(loss_ref)(args)
+    flat_f, _ = jax.tree_util.tree_flatten(gf)
+    flat_r, _ = jax.tree_util.tree_flatten(gr)
+    assert len(flat_f) == len(flat_r)
+    for a, b in zip(flat_f, flat_r):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = max(1.0, np.abs(b).max())
+        np.testing.assert_allclose(a / scale, b / scale, rtol=0.06,
+                                   atol=0.06)
+
+
+def test_fused_vmap_grad_accumulators_per_lane():
+    """Under vmap the weight-grad accumulators must stay per-batch-lane
+    (the kernel accumulates across the TILE grid only); summing the lane
+    partials must equal the unbatched per-lane gradients."""
+    b = 3
+    argsets = [_mk(10 + i, m=512) for i in range(b)]
+    stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *argsets)
+
+    def loss_one(a):
+        return jnp.sum(fused_mlp_ln(*a).astype(jnp.float32) ** 2)
+
+    g_batched = jax.grad(lambda a: jnp.sum(jax.vmap(loss_one)(a)))(stack)
+    for i in range(b):
+        g_single = jax.grad(loss_one)(argsets[i])
+        for gb, gs in zip(jax.tree_util.tree_leaves(g_batched),
+                          jax.tree_util.tree_leaves(g_single)):
+            np.testing.assert_allclose(
+                np.asarray(gb[i], np.float32),
+                np.asarray(gs, np.float32), rtol=0.06, atol=0.06)
+
+
+def test_fused_parts_wrapper_unaligned_m_and_k():
+    """The dispatch wrapper pads non-lane-aligned part widths and non-256
+    M; values must still match the reference on the real rows."""
+    m, k = 300, (12, 3)
+    rng = np.random.default_rng(3)
+    bf16 = jnp.bfloat16
+    parts = [jnp.asarray(rng.normal(size=(m, ki)).astype(np.float32),
+                         dtype=bf16) for ki in k]
+    w1 = jnp.asarray(rng.normal(size=(sum(k), 128)).astype(np.float32) * 0.3)
+    b1 = jnp.zeros(128); w2 = jnp.asarray(
+        rng.normal(size=(128, 128)).astype(np.float32) * 0.3)
+    b2 = jnp.zeros(128); w3 = jnp.asarray(
+        rng.normal(size=(128, 128)).astype(np.float32) * 0.3)
+    b3 = jnp.zeros(128)
+    gamma = jnp.ones(128); beta = jnp.zeros(128)
+    out = fused_mlp_ln_parts(parts, w1, b1, w2, b2, w3, b3, gamma, beta)
+    assert out.shape == (m, 128)
+    w1s = (w1[:k[0]].astype(bf16), w1[k[0]:].astype(bf16))
+    row = lambda v: v.reshape(1, -1).astype(bf16)
+    ref = _ref(tuple(parts), w1s, row(b1), w2.astype(bf16), row(b2),
+               w3.astype(bf16), row(b3), row(gamma), row(beta))
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.05, atol=0.05)
