@@ -135,3 +135,37 @@ def test_full_forward_matches(setup):
     np.testing.assert_allclose(np.asarray(out_blk.uvp_node_new)[real],
                                np.asarray(out_ref.uvp_node_new)[real],
                                rtol=1e-2, atol=1e-3)
+
+
+def test_forward_block_padding_value_invariance(setup):
+    """The take-based gather forward leaves GARBAGE in padded edge rows
+    (instead of the matmul path's zeros) — safe only because every
+    downstream consumer is structural. This test pins that contract: the
+    losses and the real-node outputs must not change when the padded-node
+    INPUT VALUES change."""
+    cfg, pool, batch, static, dyn = setup
+    from gen_fvgn_tpu.training.forward_block import forward_batch_block
+    from gen_fvgn_tpu.training.train_block import init_train_state_block
+
+    state, apply_fn = init_train_state_block(cfg, dyn, static, seed=0)
+
+    def run(dyn_in):
+        return forward_batch_block(apply_fn, state.params, state.norm_state,
+                                   dyn_in, static, cfg,
+                                   accumulate_normalizer=False)
+
+    out0 = jax.jit(run)(dyn)
+
+    mask = np.asarray(static.node_mask)
+    garbage = np.asarray(dyn.uvp).copy()
+    garbage[:, ~mask, :] = 777.0          # poison every padded node row
+    dyn_poisoned = dyn.replace(uvp=jnp.asarray(garbage))
+    out1 = jax.jit(run)(dyn_poisoned)
+
+    for name in ("loss_cont", "loss_mom_x", "loss_mom_y", "loss_press"):
+        np.testing.assert_allclose(np.asarray(getattr(out0, name)),
+                                   np.asarray(getattr(out1, name)),
+                                   rtol=1e-6, atol=1e-7, err_msg=name)
+    np.testing.assert_allclose(
+        np.asarray(out0.uvp_node_new)[:, mask],
+        np.asarray(out1.uvp_node_new)[:, mask], rtol=1e-6, atol=1e-7)
