@@ -30,6 +30,10 @@ def main(argv=None):
     setup_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--case", default=CASE,
+                    help="cylinder case dir (e.g. a widened-Re variant from "
+                         "scripts/make_case_variant.py for the Re=100 "
+                         "metric of record)")
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--inner", type=int, default=20)
     ap.add_argument("--lr", type=float, default=1e-4)
@@ -51,7 +55,7 @@ def main(argv=None):
     cfg = Config(batch_size=1, dataset_size=1, mxu_dtype="bfloat16",
                  engine="block", max_inner_steps=args.inner, lr=args.lr)
 
-    case = load_case(CASE, cfg.order)
+    case = load_case(args.case, cfg.order)
     k_hop = int(case["bc"].get("stencil|khops", 2))
     mesh = prepare_mesh_statics(ensure_rcm(case["mesh"]), cfg.order,
                                 k_hop=k_hop)
@@ -106,7 +110,7 @@ def main(argv=None):
                     "iterations": (i + 1) * args.inner, "time_steps": i + 1,
                     "wall_s_est": wall * (i + 1) / len(hist)}
     result = {
-        "case": "cylinder_flow_tri_quad",
+        "case": os.path.basename(os.path.abspath(args.case)),
         "Re": ts.Re,
         "time_steps": args.steps,
         "inner_per_step": args.inner,
