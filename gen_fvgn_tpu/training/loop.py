@@ -19,6 +19,7 @@ import time
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from gen_fvgn_tpu.config import Config
@@ -105,13 +106,19 @@ def train(
         state = state.replace(epoch=state.epoch + 1)
 
         if last_metrics is not None and (epoch % progress_every == 0):
+            # ONE device→host transfer for all scalars: per-float reads are
+            # separate round trips over the high-latency remote runtime
+            vals = np.asarray(jnp.stack([
+                last_metrics.loss, last_metrics.loss_cont,
+                last_metrics.loss_mom, last_metrics.loss_press,
+                last_metrics.grad_norm, last_metrics.lr]))
             logger.log_scalars(epoch, {
-                "loss": float(last_metrics.loss),
-                "loss_cont": float(last_metrics.loss_cont),
-                "loss_mom": float(last_metrics.loss_mom),
-                "loss_press": float(last_metrics.loss_press),
-                "grad_norm": float(last_metrics.grad_norm),
-                "lr": float(last_metrics.lr),
+                "loss": float(vals[0]),
+                "loss_cont": float(vals[1]),
+                "loss_mom": float(vals[2]),
+                "loss_press": float(vals[3]),
+                "grad_norm": float(vals[4]),
+                "lr": float(vals[5]),
                 "epoch_seconds": time.time() - t0,
             })
         if epoch % 50 == 0 or epoch == n_epochs - 1:
@@ -193,13 +200,19 @@ def _train_block(cfg, case_dirs, cases, log_base_dir, seed, n_epochs,
         state = state.replace(epoch=state.epoch + 1)
 
         if last_metrics is not None and (epoch % progress_every == 0):
+            # ONE device→host transfer for all scalars: per-float reads are
+            # separate round trips over the high-latency remote runtime
+            vals = np.asarray(jnp.stack([
+                last_metrics.loss, last_metrics.loss_cont,
+                last_metrics.loss_mom, last_metrics.loss_press,
+                last_metrics.grad_norm, last_metrics.lr]))
             logger.log_scalars(epoch, {
-                "loss": float(last_metrics.loss),
-                "loss_cont": float(last_metrics.loss_cont),
-                "loss_mom": float(last_metrics.loss_mom),
-                "loss_press": float(last_metrics.loss_press),
-                "grad_norm": float(last_metrics.grad_norm),
-                "lr": float(last_metrics.lr),
+                "loss": float(vals[0]),
+                "loss_cont": float(vals[1]),
+                "loss_mom": float(vals[2]),
+                "loss_press": float(vals[3]),
+                "grad_norm": float(vals[4]),
+                "lr": float(vals[5]),
                 "epoch_seconds": time.time() - t0,
             })
         if epoch % 50 == 0 or epoch == n_epochs - 1:
