@@ -134,12 +134,15 @@ def _make_bwd_kernel(n_parts: int, n_pre: int, res_idx: Optional[int],
         base = 2 * n_parts + n_pre
         (b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, g_ref) = refs[base:base + 6]
         dout_refs = refs[base + 6:base + 6 + n_dout]
-        outs = refs[base + 6 + n_dout:]
+        n_acc = n_parts + 7
+        outs = refs[base + 6 + n_dout:base + 6 + n_dout + n_parts + n_pre
+                    + n_acc]
         dx_refs = outs[:n_parts]
         dpre_refs = outs[n_parts:n_parts + n_pre]
-        acc = outs[n_parts + n_pre:]
+        acc_out = outs[n_parts + n_pre:]
+        scratch = refs[base + 6 + n_dout + n_parts + n_pre + n_acc:]
         (adw1s, (adb1_ref, adw2_ref, adb2_ref, adw3_ref, adb3_ref, adg_ref,
-                 adbe_ref)) = acc[:n_parts], acc[n_parts:]
+                 adbe_ref)) = scratch[:n_parts], scratch[n_parts:]
 
         gamma = g_ref[:].astype(jnp.float32)                 # [1, D]
         b1 = b1_ref[:].astype(jnp.float32)
@@ -159,7 +162,15 @@ def _make_bwd_kernel(n_parts: int, n_pre: int, res_idx: Optional[int],
         if res_idx is not None and res_dual:
             g = g + dout_refs[1][:].astype(jnp.float32)
 
+        # Accumulate the weight grads in VMEM SCRATCH (persists across grid
+        # steps; program_id is remapped per batch lane under vmap so each
+        # lane re-inits at its tile 0) and write the running total to the
+        # output block every step. The output block is never READ — revisit
+        # write-back semantics of output blocks proved unreliable on
+        # hardware (grads off by one tile's contribution); scratch is the
+        # documented accumulator pattern.
         is_first = pl.program_id(0) == 0
+        out_for = {id(s): o for s, o in zip(scratch, acc_out)}
 
         def accum(ref, val):
             @pl.when(is_first)
@@ -169,6 +180,8 @@ def _make_bwd_kernel(n_parts: int, n_pre: int, res_idx: Optional[int],
             @pl.when(jnp.logical_not(is_first))
             def _():
                 ref[...] = ref[...] + val
+
+            out_for[id(ref)][...] = ref[...]
 
         accum(adg_ref, jnp.sum(g * xhat, axis=0, keepdims=True))
         accum(adbe_ref, jnp.sum(g, axis=0, keepdims=True))
@@ -312,6 +325,12 @@ def _make_fused_fn(res_idx: Optional[int], res_dual: bool):
                    jax.ShapeDtypeStruct((1, d), f32),
                    jax.ShapeDtypeStruct((1, d), f32),
                    jax.ShapeDtypeStruct((1, d), f32)]),
+            scratch_shapes=(
+                [pltpu.VMEM(w.shape, f32) for w in w1s]
+                + [pltpu.VMEM((1, h), f32), pltpu.VMEM((h, h), f32),
+                   pltpu.VMEM((1, h), f32), pltpu.VMEM((h, d), f32),
+                   pltpu.VMEM((1, d), f32), pltpu.VMEM((1, d), f32),
+                   pltpu.VMEM((1, d), f32)]),
             interpret=_interpret(),
         )(*parts, *w1s, *pres, b1, w2, b2, w3, b3, gamma, *douts)
         dxs = tuple(outs[:n_parts])

@@ -6,8 +6,11 @@ Usage:
 """
 
 import argparse
+import faulthandler
 import os
 import sys
+
+faulthandler.enable()  # crash tracebacks (parity: pre_train_Adam.py:1-2)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
