@@ -25,14 +25,14 @@ flax semantics (tanh-approximate GELU, fast-variance LayerNorm, f32 stats,
 bf16 stream).
 
 Backward: a second kernel recomputes the forward per M-tile in VMEM (remat
-is free — the backward is bandwidth-bound too) and ACCUMULATES dW/db/dγ/dβ
-across the tile grid into single output blocks (init at tile 0, add on
-revisits — Mosaic keeps a constant-index output block resident in VMEM
-across sequential grid steps). Under jax.vmap the batch dim is prepended
-to the grid, giving each batch lane its own accumulator block; the [B,...]
-partials are summed outside. This replaces the old per-tile partial arrays
-(~60 MB of f32 partials + a separate reduction per backward call on the
-bench workload).
+is free — the backward is bandwidth-bound too) and emits per-tile PARTIAL
+dW/db/dγ/dβ blocks, reduced with one jnp.sum outside. In-kernel
+accumulation (both read-modify-write of a constant-index output block and
+VMEM-scratch with per-step writeout) was measured ~3.5 ms/step SLOWER on
+the bench workload: the cross-grid-step dependency defeats Mosaic's
+pipelining, while independent per-tile writes stream at full rate. The
+per-tile layout is also what keeps the kernel correct under jax.vmap's
+batch-prepended grid.
 
 All refs are ≥2-D (TPU lowering constraint for batched 1-D outputs). Part
 widths must be lane-aligned (%128) or <128; M must be a 256 multiple (the
@@ -134,15 +134,12 @@ def _make_bwd_kernel(n_parts: int, n_pre: int, res_idx: Optional[int],
         base = 2 * n_parts + n_pre
         (b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, g_ref) = refs[base:base + 6]
         dout_refs = refs[base + 6:base + 6 + n_dout]
-        n_acc = n_parts + 7
-        outs = refs[base + 6 + n_dout:base + 6 + n_dout + n_parts + n_pre
-                    + n_acc]
+        outs = refs[base + 6 + n_dout:]
         dx_refs = outs[:n_parts]
         dpre_refs = outs[n_parts:n_parts + n_pre]
-        acc_out = outs[n_parts + n_pre:]
-        scratch = refs[base + 6 + n_dout + n_parts + n_pre + n_acc:]
+        acc = outs[n_parts + n_pre:]
         (adw1s, (adb1_ref, adw2_ref, adb2_ref, adw3_ref, adb3_ref, adg_ref,
-                 adbe_ref)) = scratch[:n_parts], scratch[n_parts:]
+                 adbe_ref)) = acc[:n_parts], acc[n_parts:]
 
         gamma = g_ref[:].astype(jnp.float32)                 # [1, D]
         b1 = b1_ref[:].astype(jnp.float32)
@@ -162,26 +159,15 @@ def _make_bwd_kernel(n_parts: int, n_pre: int, res_idx: Optional[int],
         if res_idx is not None and res_dual:
             g = g + dout_refs[1][:].astype(jnp.float32)
 
-        # Accumulate the weight grads in VMEM SCRATCH (persists across grid
-        # steps; program_id is remapped per batch lane under vmap so each
-        # lane re-inits at its tile 0) and write the running total to the
-        # output block every step. The output block is never READ — revisit
-        # write-back semantics of output blocks proved unreliable on
-        # hardware (grads off by one tile's contribution); scratch is the
-        # documented accumulator pattern.
-        is_first = pl.program_id(0) == 0
-        out_for = {id(s): o for s, o in zip(scratch, acc_out)}
-
+        # Per-tile PARTIAL weight-grad outputs, reduced with one jnp.sum
+        # outside. Both in-kernel accumulation variants (read-modify-write
+        # of a constant-index output block, and VMEM-scratch accumulation
+        # with per-step writeout) measured ~3.5 ms/step SLOWER than
+        # independent per-tile writes — the cross-step dependency defeats
+        # Mosaic's grid pipelining; the partial arrays cost HBM bytes but
+        # stream at full rate.
         def accum(ref, val):
-            @pl.when(is_first)
-            def _():
-                ref[...] = val
-
-            @pl.when(jnp.logical_not(is_first))
-            def _():
-                ref[...] = ref[...] + val
-
-            out_for[id(ref)][...] = ref[...]
+            ref[0] = val
 
         accum(adg_ref, jnp.sum(g * xhat, axis=0, keepdims=True))
         accum(adbe_ref, jnp.sum(g, axis=0, keepdims=True))
@@ -291,9 +277,11 @@ def _make_fused_fn(res_idx: Optional[int], res_dual: bool):
         douts = tuple(g) if isinstance(g, tuple) else (g,)
         f32 = jnp.float32
 
+        n_tiles = m // tm
+
         def _acc_spec(shape):
             nd = len(shape)
-            return pl.BlockSpec(shape, lambda i: (0,) * nd,
+            return pl.BlockSpec((1,) + shape, lambda i: (i,) + (0,) * nd,
                                 memory_space=pltpu.VMEM)
 
         outs = pl.pallas_call(
@@ -317,20 +305,15 @@ def _make_fused_fn(res_idx: Optional[int], res_dual: bool):
             out_shape=(
                 [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in parts]
                 + [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in pres]
-                + [jax.ShapeDtypeStruct(w.shape, f32) for w in w1s]
-                + [jax.ShapeDtypeStruct((1, h), f32),
-                   jax.ShapeDtypeStruct((h, h), f32),
-                   jax.ShapeDtypeStruct((1, h), f32),
-                   jax.ShapeDtypeStruct((h, d), f32),
-                   jax.ShapeDtypeStruct((1, d), f32),
-                   jax.ShapeDtypeStruct((1, d), f32),
-                   jax.ShapeDtypeStruct((1, d), f32)]),
-            scratch_shapes=(
-                [pltpu.VMEM(w.shape, f32) for w in w1s]
-                + [pltpu.VMEM((1, h), f32), pltpu.VMEM((h, h), f32),
-                   pltpu.VMEM((1, h), f32), pltpu.VMEM((h, d), f32),
-                   pltpu.VMEM((1, d), f32), pltpu.VMEM((1, d), f32),
-                   pltpu.VMEM((1, d), f32)]),
+                + [jax.ShapeDtypeStruct((n_tiles,) + w.shape, f32)
+                   for w in w1s]
+                + [jax.ShapeDtypeStruct((n_tiles, 1, h), f32),
+                   jax.ShapeDtypeStruct((n_tiles, h, h), f32),
+                   jax.ShapeDtypeStruct((n_tiles, 1, h), f32),
+                   jax.ShapeDtypeStruct((n_tiles, h, d), f32),
+                   jax.ShapeDtypeStruct((n_tiles, 1, d), f32),
+                   jax.ShapeDtypeStruct((n_tiles, 1, d), f32),
+                   jax.ShapeDtypeStruct((n_tiles, 1, d), f32)]),
             interpret=_interpret(),
         )(*parts, *w1s, *pres, b1, w2, b2, w3, b3, gamma, *douts)
         dxs = tuple(outs[:n_parts])
@@ -338,7 +321,7 @@ def _make_fused_fn(res_idx: Optional[int], res_dual: bool):
         grads = outs[n_parts + n_pre:]
         dw1s = grads[:n_parts]
         db1, dw2, db2, dw3, db3, dg, dbe = grads[n_parts:]
-        cast = lambda t, like: t.astype(like.dtype)
+        cast = lambda t, like: t.sum(0).astype(like.dtype)
         return (dxs,
                 tuple(cast(p, w) for p, w in zip(dw1s, w1s)),
                 cast(db1, b1), cast(dw2, w2), cast(db2, b2),

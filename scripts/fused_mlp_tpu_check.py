@@ -19,11 +19,25 @@ def main():
     from tests.test_fused_mlp import _mk, _ref
     from gen_fvgn_tpu.ops.fused_mlp import fused_mlp_ln
 
+    def randomize_ln(a, seed):
+        """Random gamma/beta: with identity LN params and a sum-of-squares
+        loss the true weight grads are ~0 (LayerNorm scale invariance), and
+        the check would measure bf16-vs-f32 backward rounding noise instead
+        of correctness."""
+        rng = np.random.default_rng(seed)
+        a = list(a)
+        a[7] = jnp.asarray(rng.normal(size=(1, 128)).astype(np.float32) * 0.5
+                           + 1.0, dtype=jnp.bfloat16)
+        a[8] = jnp.asarray(rng.normal(size=(1, 128)).astype(np.float32) * 0.3,
+                           dtype=jnp.bfloat16)
+        return tuple(a)
+
     ok = True
     for res_idx, res_dual, tag in ((None, False, "plain"),
                                    (1, False, "res-replace"),
                                    (1, True, "res-dual")):
-        argsets = [_mk(5 + i, m=2048, n_pre=1) for i in range(4)]
+        argsets = [randomize_ln(_mk(5 + i, m=2048, n_pre=1), 90 + i)
+                   for i in range(4)]
         stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *argsets)
 
         def loss_f(a):
