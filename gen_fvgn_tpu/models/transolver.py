@@ -15,6 +15,7 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from gen_fvgn_tpu.models import mlp as mlp_mod
 from gen_fvgn_tpu.models.mlp import TRUNC_INIT
 
 
@@ -85,6 +86,17 @@ class TransolverBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, node_mask: jnp.ndarray) -> jnp.ndarray:
         x = PhysicsAttention(self.hidden_dim, self.heads, self.slice_num,
                              self.dtype, name="attn")(x, node_mask) + x
+        c, hd = self.hidden_dim, self.hidden_dim * self.mlp_ratio
+        if (self.dtype == jnp.bfloat16 and mlp_mod._FUSED_ENABLED
+                and x.ndim == 2 and c % 128 == 0 and hd % 128 == 0):
+            # pre-LN MLP branch + residual as ONE Pallas kernel (same param
+            # tree as the nn.LayerNorm/nn.Dense stack below)
+            from gen_fvgn_tpu.ops.fused_mlp import fused_premlp_res_parts
+            ln_s, ln_b = mlp_mod._LnParams(c, name="ln_2")()
+            w1, b1 = mlp_mod._DenseParams(c, hd, name="mlp_pre")()
+            w2, b2 = mlp_mod._DenseParams(hd, c, name="mlp_post")()
+            return fused_premlp_res_parts(x, ln_s, ln_b, w1, b1, w2, b2,
+                                          dtype=self.dtype)
         if self.dtype == jnp.bfloat16:
             h = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
         else:

@@ -396,3 +396,145 @@ def fused_mlp_ln_parts(parts: Sequence[jnp.ndarray], w1, b1, w2, b2, w3, b3,
     if m_pad != m:
         out = tuple(o[:m] for o in out) if isinstance(out, tuple) else out[:m]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Pre-LN 1-hidden MLP + residual (the Transolver block's MLP branch):
+#     out = x + W2 · gelu(W1 · LN(x))
+# Unfused this chain round-trips x_ln, h1pre, gelu, y, and the residual sum
+# through HBM; fused it reads x once and writes out once. Same conventions
+# as the main kernel: f32 statistics/accumulation, bf16 stream, remat
+# backward with per-tile partial weight grads.
+# ---------------------------------------------------------------------------
+
+
+def _premlp_fwd_core(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref):
+    x32 = x_ref[:].astype(jnp.float32)
+    mu, rstd = _ln_stats(x32)
+    xhat = (x32 - mu) * rstd
+    u = xhat * g_ref[:].astype(jnp.float32) + be_ref[:].astype(jnp.float32)
+    dt = x_ref.dtype
+    u16 = u.astype(dt)
+    h1pre = jnp.dot(u16, w1_ref[:], preferred_element_type=jnp.float32) \
+        + b1_ref[:].astype(jnp.float32)
+    h = _gelu_tanh(h1pre)
+    y = jnp.dot(h.astype(dt), w2_ref[:],
+                preferred_element_type=jnp.float32) \
+        + b2_ref[:].astype(jnp.float32) + x32
+    return x32, mu, rstd, xhat, u16, h1pre, h, y
+
+
+def _premlp_fwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                       out_ref):
+    *_, y = _premlp_fwd_core(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref,
+                             b2_ref)
+    out_ref[:] = y.astype(out_ref.dtype)
+
+
+def _premlp_bwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                       dout_ref, dx_ref, pdg_ref, pdbe_ref, pdw1_ref,
+                       pdb1_ref, pdw2_ref, pdb2_ref):
+    (x32, mu, rstd, xhat, u16, h1pre, h, _) = _premlp_fwd_core(
+        x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref)
+    dt = x_ref.dtype
+    g = dout_ref[:].astype(jnp.float32)
+    g16 = g.astype(dt)
+
+    pdb2_ref[0] = jnp.sum(g, axis=0, keepdims=True)
+    pdw2_ref[0] = jnp.dot(h.astype(dt).T, g16,
+                          preferred_element_type=jnp.float32)
+    dh = jnp.dot(g16, w2_ref[:].T, preferred_element_type=jnp.float32)
+    dh1pre = dh * _gelu_tanh_grad(h1pre)
+    dh1pre16 = dh1pre.astype(dt)
+    pdb1_ref[0] = jnp.sum(dh1pre, axis=0, keepdims=True)
+    pdw1_ref[0] = jnp.dot(u16.T, dh1pre16,
+                          preferred_element_type=jnp.float32)
+    du = jnp.dot(dh1pre16, w1_ref[:].T, preferred_element_type=jnp.float32)
+    pdg_ref[0] = jnp.sum(du * xhat, axis=0, keepdims=True)
+    pdbe_ref[0] = jnp.sum(du, axis=0, keepdims=True)
+    dxhat = du * g_ref[:].astype(jnp.float32)
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx_ln = rstd * (dxhat - m1 - xhat * m2)
+    dx_ref[:] = (dx_ln + g).astype(dx_ref.dtype)
+
+
+@jax.custom_vjp
+def fused_premlp_res(x, gamma, beta, w1, b1, w2, b2):
+    """out = x + W2·gelu(W1·LN(x)); x [M, C] (M a 256-multiple), row-shaped
+    LN/bias params [1, ·]."""
+    out, _ = _premlp_fwd(x, gamma, beta, w1, b1, w2, b2)
+    return out
+
+
+def _premlp_fwd(x, gamma, beta, w1, b1, w2, b2):
+    m, c = x.shape
+    hdim = w1.shape[1]
+    tm = _pick_tile_m(m)
+    out = pl.pallas_call(
+        _premlp_fwd_kernel,
+        grid=(m // tm,),
+        in_specs=[_tile_spec(c, tm), _const_spec((1, c)), _const_spec((1, c)),
+                  _const_spec((c, hdim)), _const_spec((1, hdim)),
+                  _const_spec((hdim, c)), _const_spec((1, c))],
+        out_specs=_tile_spec(c, tm),
+        out_shape=jax.ShapeDtypeStruct((m, c), x.dtype),
+        interpret=_interpret(),
+    )(x, gamma, beta, w1, b1, w2, b2)
+    return out, (x, gamma, beta, w1, b1, w2, b2)
+
+
+def _premlp_bwd(res, g):
+    x, gamma, beta, w1, b1, w2, b2 = res
+    m, c = x.shape
+    hdim = w1.shape[1]
+    tm = _pick_tile_m(m)
+    n_tiles = m // tm
+    f32 = jnp.float32
+
+    def _p(shape):
+        nd = len(shape)
+        return pl.BlockSpec((1,) + shape, lambda i: (i,) + (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        _premlp_bwd_kernel,
+        grid=(n_tiles,),
+        in_specs=[_tile_spec(c, tm), _const_spec((1, c)), _const_spec((1, c)),
+                  _const_spec((c, hdim)), _const_spec((1, hdim)),
+                  _const_spec((hdim, c)), _const_spec((1, c)),
+                  _tile_spec(c, tm)],
+        out_specs=[_tile_spec(c, tm), _p((1, c)), _p((1, c)), _p((c, hdim)),
+                   _p((1, hdim)), _p((hdim, c)), _p((1, c))],
+        out_shape=[jax.ShapeDtypeStruct((m, c), x.dtype),
+                   jax.ShapeDtypeStruct((n_tiles, 1, c), f32),
+                   jax.ShapeDtypeStruct((n_tiles, 1, c), f32),
+                   jax.ShapeDtypeStruct((n_tiles, c, hdim), f32),
+                   jax.ShapeDtypeStruct((n_tiles, 1, hdim), f32),
+                   jax.ShapeDtypeStruct((n_tiles, hdim, c), f32),
+                   jax.ShapeDtypeStruct((n_tiles, 1, c), f32)],
+        interpret=_interpret(),
+    )(x, gamma, beta, w1, b1, w2, b2, g)
+    dx, pdg, pdbe, pdw1, pdb1, pdw2, pdb2 = outs
+    cast = lambda t, like: t.sum(0).astype(like.dtype)
+    return (dx, cast(pdg, gamma), cast(pdbe, beta), cast(pdw1, w1),
+            cast(pdb1, b1), cast(pdw2, w2), cast(pdb2, b2))
+
+
+fused_premlp_res.defvjp(_premlp_fwd, _premlp_bwd)
+
+
+def fused_premlp_res_parts(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                           dtype=jnp.bfloat16):
+    """Dispatch wrapper: casts the stream/weights, row-shapes the 1-D
+    params, pads M to a 256 multiple if needed."""
+    m = x.shape[0]
+    m_pad = ((m + 255) // 256) * 256
+    x16 = x.astype(dtype)
+    if m_pad != m:
+        x16 = jnp.pad(x16, ((0, m_pad - m), (0, 0)))
+    row = lambda v: v.reshape(1, -1)
+    out = fused_premlp_res(x16, row(ln_scale), row(ln_bias),
+                           w1.astype(dtype), row(b1), w2.astype(dtype),
+                           row(b2))
+    return out[:m] if m_pad != m else out

@@ -147,3 +147,63 @@ def test_fused_parts_wrapper_unaligned_m_and_k():
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=0.05, atol=0.05)
+
+
+def test_fused_premlp_res_matches_reference():
+    """Pre-LN 1-hidden MLP + residual kernel (the Transolver MLP branch):
+    forward and all gradients vs a pure-jnp reference."""
+    from gen_fvgn_tpu.ops.fused_mlp import fused_premlp_res
+
+    rng = np.random.default_rng(7)
+    bf16 = jnp.bfloat16
+    m, c, hd = 512, 128, 256
+    arr = lambda *s, sc=0.3: jnp.asarray(
+        rng.normal(size=s).astype(np.float32) * sc, dtype=bf16)
+    x = arr(m, c, sc=1.0)
+    gamma = arr(1, c, sc=0.5) + jnp.ones((1, c), bf16)
+    beta = arr(1, c)
+    w1, b1 = arr(c, hd), arr(1, hd, sc=0.1)
+    w2, b2 = arr(hd, c), arr(1, c, sc=0.1)
+
+    def ref(x, gamma, beta, w1, b1, w2, b2):
+        f32 = jnp.float32
+        x32 = x.astype(f32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(x32 * x32, axis=-1, keepdims=True) - mu * mu, 0.0)
+        u = (x32 - mu) * jax.lax.rsqrt(var + LN_EPS) \
+            * gamma.astype(f32) + beta.astype(f32)
+        h1 = jnp.dot(u.astype(jnp.bfloat16), w1,
+                     preferred_element_type=f32) + b1.astype(f32)
+        h = jax.nn.gelu(h1, approximate=True)
+        y = jnp.dot(h.astype(jnp.bfloat16), w2,
+                    preferred_element_type=f32) + b2.astype(f32) + x32
+        return y.astype(jnp.bfloat16)
+
+    args = (x, gamma, beta, w1, b1, w2, b2)
+    out = fused_premlp_res(*args)
+    want = ref(*args)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0.05, atol=0.05)
+
+    loss_f = lambda a: jnp.sum(fused_premlp_res(*a).astype(jnp.float32) ** 2)
+    loss_r = lambda a: jnp.sum(ref(*a).astype(jnp.float32) ** 2)
+    gf = jax.grad(loss_f)(args)
+    gr = jax.grad(loss_r)(args)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gr)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = max(1.0, np.abs(b).max())
+        np.testing.assert_allclose(a / scale, b / scale, rtol=0.06,
+                                   atol=0.06)
+
+    # vmapped (the engine's batching path)
+    xs = jnp.stack([x, x * 0.5, -x])
+    vm = jax.vmap(lambda xx: fused_premlp_res(xx, gamma, beta, w1, b1,
+                                              w2, b2))(xs)
+    vr = jax.vmap(lambda xx: ref(xx, gamma, beta, w1, b1, w2, b2))(xs)
+    np.testing.assert_allclose(np.asarray(vm, np.float32),
+                               np.asarray(vr, np.float32),
+                               rtol=0.05, atol=0.05)
