@@ -24,7 +24,37 @@ import numpy as np
 
 
 def _to_host(tree: Any) -> Any:
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    """Device→host pytree transfer with per-DTYPE packing: one flattened
+    device concat + ONE transfer per dtype instead of one round trip per
+    leaf. A ~1M-param train state has 100+ leaves; at ~100 ms relay latency
+    per transfer the naive per-leaf map costs ~15 s per checkpoint save
+    (measured — it dominated real-training epoch time)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    dev_idx = [i for i, x in enumerate(leaves)
+               if isinstance(x, jax.Array) and x.size > 0
+               and len(x.sharding.device_set) == 1]
+    out = [None] * len(leaves)
+    for i, x in enumerate(leaves):
+        if i not in dev_idx:
+            out[i] = np.asarray(x)
+    groups: dict = {}
+    for i in dev_idx:
+        groups.setdefault(leaves[i].dtype, []).append(i)
+    for dtype, idxs in groups.items():
+        flat = _packed_concat([leaves[i] for i in idxs])
+        host = np.asarray(flat)          # ONE transfer for this dtype
+        off = 0
+        for i in idxs:
+            n = leaves[i].size
+            out[i] = host[off:off + n].reshape(leaves[i].shape)
+            off += n
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+@jax.jit
+def _packed_concat(xs):
+    import jax.numpy as jnp
+    return jnp.concatenate([x.reshape(-1) for x in xs])
 
 
 def save_state(state: Any, path: str) -> None:
