@@ -18,6 +18,11 @@ not compute-bound — measured sustained HBM bandwidth on the bench chip is
 ~420 GB/s, and the h=128 matmuls sit on that roofline (a [165888,128]x
 [128,128] bf16 matmul sustains ~26 TF/s = ~407 GB/s effective), so low
 absolute MFU is the expected physics of a 128-wide graph net, not head-room.
+At the round-2 end state (~38 ms/step) the fused MLP kernels measure AT
+their byte roofline and the remaining step is a tail of near-roofline
+operator/stream fusions — see ROUND_NOTES.md for the per-change
+measurements and scripts/profile_block_step.py for source-attributed
+profiles.
 
 vs_baseline: the reference repo publishes NO recorded numbers (BASELINE.md).
 The denominator is an ASSUMED CONSTANT of 10 steps/sec for the

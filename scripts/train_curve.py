@@ -47,6 +47,10 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--seq-len", type=int, default=200)
+    ap.add_argument("--resume", default=None,
+                    help="checkpoint slot to resume from (lets the run be "
+                         "wrapped by scripts/supervise_train.py so remote-"
+                         "runtime stalls don't lose long curves)")
     ap.add_argument("--out", default="/tmp/curve.json")
     ap.add_argument("--log-dir", default="/tmp/curve_runs")
     args = ap.parse_args(argv)
@@ -69,7 +73,7 @@ def main(argv=None):
     from gen_fvgn_tpu.io.logger import RunLogger
     logger = RunLogger(args.log_dir, cfg, copy_code=False, seed=0)
     train(cfg, case_dirs=case_dirs, cases=cases, seed=0,
-          n_epochs=args.epochs, logger=logger)
+          n_epochs=args.epochs, logger=logger, resume_from=args.resume)
 
     # convert the Tecplot-CSV monitor to the committed JSON curve format
     lines = open(logger._loss_path).read().strip().splitlines()
