@@ -121,10 +121,11 @@ def integrate_residuals_block(
         loss_mom_cell = unsteady_c * unsteady_cell + rhs
         loss_mom = pool(loss_mom_cell) * dyn.sigma[0:2]
     else:
-        gx_cell = _interp(ops.n2c_m0, ops.n2c_mx, ops.n2c_my,
-                          gx5, None, None)                            # [Nc,5]
-        gy_cell = _interp(ops.n2c_m0, ops.n2c_mx, ops.n2c_my,
-                          gy5, None, None)
+        # one wide n2c_m0 apply for both gradient planes (operator tiles
+        # read once — same trick as the n2f_m0 pack above)
+        g_cell = apply_linop(ops.n2c_m0,
+                             jnp.concatenate([gx5, gy5], axis=-1))    # [Nc,10]
+        gx_cell, gy_cell = g_cell[:, 0:5], g_cell[:, 5:10]
         uv_cell_hat = phi_cell[:, 3:5]
 
         cell_div = (gx_cell[:, 0:1] + gy_cell[:, 1:2]) * cells_area

@@ -153,11 +153,10 @@ def build_mesh_operators(mesh: Dict[str, np.ndarray], order: str,
     mdt = "bfloat16" if model_ops_bf16 else np.float32
     rows = np.concatenate([r, s]); cols = np.concatenate([s, r])
     ones2 = np.ones(2 * e, np.float32)
-    # tile_in=128: the RCM band is narrower than 256 cols on typical
-    # meshes, so halving the operand tile cuts block storage ~1/3 and the
-    # gathered-operand traffic (measured adj 248→222 us/apply)
-    adj = build_linop(rows, cols, ones2, np_pad, np_pad, tile,
-                      tile, mdt)
+    # NOTE: tile_in=128 was probed for adj (isolated win 248→222 us/apply)
+    # but LOST in the full step — K grows and the in-step layouts differ;
+    # both tiles stay at `tile` (see ROUND_NOTES "tried and rejected")
+    adj = build_linop(rows, cols, ones2, np_pad, np_pad, tile, tile, mdt)
     deg = np.zeros((np_pad, 1), np.float32)
     np.add.at(deg, rows, 1.0)
 

@@ -31,6 +31,23 @@ from gen_fvgn_tpu.training.train import (TrainState, init_train_state,
                                          make_train_step)
 
 
+def _log_epoch(logger, epoch, last_metrics, t0):
+    """ONE device→host transfer for all scalars: per-float reads are
+    separate round trips over the high-latency remote runtime."""
+    vals = np.asarray(jnp.stack([
+        last_metrics.loss, last_metrics.loss_cont,
+        last_metrics.loss_mom, last_metrics.loss_press,
+        last_metrics.grad_norm, last_metrics.lr]))
+    logger.log_scalars(epoch, {
+        "loss": float(vals[0]),
+        "loss_cont": float(vals[1]),
+        "loss_mom": float(vals[2]),
+        "loss_press": float(vals[3]),
+        "grad_norm": float(vals[4]),
+        "lr": float(vals[5]),
+        "epoch_seconds": time.time() - t0,
+    })
+
 def train(
     cfg: Config,
     case_dirs: Sequence[str] = (),
@@ -106,21 +123,7 @@ def train(
         state = state.replace(epoch=state.epoch + 1)
 
         if last_metrics is not None and (epoch % progress_every == 0):
-            # ONE device→host transfer for all scalars: per-float reads are
-            # separate round trips over the high-latency remote runtime
-            vals = np.asarray(jnp.stack([
-                last_metrics.loss, last_metrics.loss_cont,
-                last_metrics.loss_mom, last_metrics.loss_press,
-                last_metrics.grad_norm, last_metrics.lr]))
-            logger.log_scalars(epoch, {
-                "loss": float(vals[0]),
-                "loss_cont": float(vals[1]),
-                "loss_mom": float(vals[2]),
-                "loss_press": float(vals[3]),
-                "grad_norm": float(vals[4]),
-                "lr": float(vals[5]),
-                "epoch_seconds": time.time() - t0,
-            })
+            _log_epoch(logger, epoch, last_metrics, t0)
         if epoch % 50 == 0 or epoch == n_epochs - 1:
             ckpt.save(state, epoch)
 
@@ -200,21 +203,7 @@ def _train_block(cfg, case_dirs, cases, log_base_dir, seed, n_epochs,
         state = state.replace(epoch=state.epoch + 1)
 
         if last_metrics is not None and (epoch % progress_every == 0):
-            # ONE device→host transfer for all scalars: per-float reads are
-            # separate round trips over the high-latency remote runtime
-            vals = np.asarray(jnp.stack([
-                last_metrics.loss, last_metrics.loss_cont,
-                last_metrics.loss_mom, last_metrics.loss_press,
-                last_metrics.grad_norm, last_metrics.lr]))
-            logger.log_scalars(epoch, {
-                "loss": float(vals[0]),
-                "loss_cont": float(vals[1]),
-                "loss_mom": float(vals[2]),
-                "loss_press": float(vals[3]),
-                "grad_norm": float(vals[4]),
-                "lr": float(vals[5]),
-                "epoch_seconds": time.time() - t0,
-            })
+            _log_epoch(logger, epoch, last_metrics, t0)
         if epoch % 50 == 0 or epoch == n_epochs - 1:
             ckpt.save(state, epoch)
 

@@ -57,7 +57,7 @@ def test_linop_matches_dense():
 
 def test_wlsq_operator_matches_segment_path(setup):
     cfg, pool, batch, static, dyn = setup
-    from gen_fvgn_tpu.ops.wlsq import node_based_wlsq_precomputed, WLSQ_DIM
+    from gen_fvgn_tpu.ops.wlsq import node_based_wlsq_precomputed
     sample0 = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[0], batch)
     phi = jnp.asarray(
         np.random.default_rng(0).normal(

@@ -207,3 +207,45 @@ def test_fused_premlp_res_matches_reference():
     np.testing.assert_allclose(np.asarray(vm, np.float32),
                                np.asarray(vr, np.float32),
                                rtol=0.05, atol=0.05)
+
+
+def test_fused_premlp_res_vmap_gradients():
+    """The premlp kernel's per-tile partial layout must stay per-batch-lane
+    under jax.vmap (the training path differentiates it under vmap)."""
+    from gen_fvgn_tpu.ops.fused_mlp import fused_premlp_res
+
+    rng = np.random.default_rng(11)
+    bf16 = jnp.bfloat16
+    m, c, hd = 512, 128, 256
+    arr = lambda *s, sc=0.3: jnp.asarray(
+        rng.normal(size=s).astype(np.float32) * sc, dtype=bf16)
+    gamma = arr(1, c, sc=0.5) + jnp.ones((1, c), bf16)
+    beta = arr(1, c)
+    w1, b1 = arr(c, hd), arr(1, hd, sc=0.1)
+    w2, b2 = arr(hd, c), arr(1, c, sc=0.1)
+    xs = [arr(m, c, sc=1.0) for _ in range(3)]
+
+    def loss_one(x):
+        out = fused_premlp_res(x, gamma, beta, w1, b1, w2, b2)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    stack = jnp.stack(xs)
+    g_b = jax.grad(lambda s: jnp.sum(jax.vmap(loss_one)(s)))(stack)
+    gw_b = jax.grad(
+        lambda w: jnp.sum(jax.vmap(
+            lambda x: jnp.sum(fused_premlp_res(
+                x, gamma, beta, w, b1, w2, b2).astype(jnp.float32) ** 2)
+        )(stack)))(w1)
+    gw_sum = sum(jax.grad(
+        lambda w: jnp.sum(fused_premlp_res(
+            x, gamma, beta, w, b1, w2, b2).astype(jnp.float32) ** 2))(w1)
+        for x in xs)
+    for i in range(3):
+        g_one = jax.grad(loss_one)(xs[i])
+        np.testing.assert_allclose(np.asarray(g_b[i], np.float32),
+                                   np.asarray(g_one, np.float32),
+                                   rtol=0.06, atol=0.06)
+    a = np.asarray(gw_b, np.float32)
+    b = np.asarray(gw_sum, np.float32)
+    scale = max(1.0, np.abs(b).max())
+    np.testing.assert_allclose(a / scale, b / scale, rtol=0.06, atol=0.06)

@@ -63,7 +63,9 @@ def test_orbax_sharded_checkpoint_roundtrip(tmp_path):
     path = str(tmp_path / "sharded_ckpt")
     try:
         save_state_orbax(state, path)
-    except Exception as e:  # orbax version quirks shouldn't fail the suite
+    except (ImportError, AttributeError) as e:
+        # only version-availability quirks may skip; real save failures
+        # must FAIL (this is the lone test of the distributed path)
         import pytest as _pytest
         _pytest.skip(f"orbax sharded save unavailable: {e}")
 
