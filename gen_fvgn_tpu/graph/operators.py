@@ -5,9 +5,11 @@ as block-dense `LinOp`s (ops/blocksparse.py):
 
   model:  adj (neighbour sum), gather_s/gather_r (edge←node), edge_diff,
           scat_r/scat_s (node←edge halves), degree vector
-  wlsq:   the FULLY FOLDED gradient operator [N·k ← N] — accumulation,
+  wlsq:   the folded gradient operator [N·2 ← N] — accumulation,
           conditioning, and the per-node solve collapse into one static
           sparse matrix, so gradient reconstruction is ONE block matmul
+          (gradient rows q=0,1 only; the live residual path never consumes
+          higher moments)
   fv:     node→cell / node→face Taylor interpolation (value + r·∇ terms),
           cell→node inverse-distance, slot-flux accumulation [Nc ← E] with
           surface-vector weights, outflow-face traction weights

@@ -99,11 +99,16 @@ class Mlp(nn.Module):
                  if not isinstance(p, Gathered)]
         if (dt == jnp.bfloat16 and _FUSED_ENABLED and ln is not None
                 and self.num_hidden_layers == 2 and plain
-                and plain[0][0].ndim == 2
+                and plain[0][0].ndim in (2, 3)
                 and self.hidden_size % 128 == 0 and self.out_size % 128 == 0):
             from gen_fvgn_tpu.ops.blocksparse import apply_linop
             from gen_fvgn_tpu.ops.fused_mlp import fused_mlp_ln_parts
             (w1, b1), (w2, b2) = hidden
+            # folded-batch layout [M, B, C]: the kernel sees the free
+            # reshape [M·B, C] (contiguous — batch rides the row axis)
+            lead = plain[0][0].shape[:-1]
+            flat = (lambda a: a.reshape(-1, a.shape[-1])) \
+                if len(lead) == 2 else (lambda a: a)
             # group Gathered parts by source so same-src projections run as
             # ONE matmul (the EdgeBlock's sender/receiver W1 slices share
             # the neighbour aggregate)
@@ -117,21 +122,30 @@ class Mlp(nn.Module):
                 w1cat = jnp.concatenate(
                     [w1[offs[i]:offs[i + 1]] for i, _ in items],
                     axis=-1).astype(dt)
-                y = jnp.dot(src, w1cat, preferred_element_type=dt)
+                # f32 accumulation: the projection joins the kernel's f32
+                # h1pre sum, so rounding it to bf16 here would be a precision
+                # asymmetry vs the plain-parts path and the segment engine
+                y = jnp.dot(src, w1cat,
+                            preferred_element_type=jnp.float32)
                 h = self.hidden_size
                 for j, (i, p) in enumerate(items):
-                    contrib = apply_linop(p.op, y[:, j * h:(j + 1) * h])
+                    contrib = apply_linop(p.op, y[..., j * h:(j + 1) * h])
                     pre = contrib if pre is None else pre + contrib
             res_plain = None
             if self.residual_part is not None:
                 res_plain = [i for i, (p, _) in enumerate(plain)
                              if p is parts[self.residual_part]][0]
-            return fused_mlp_ln_parts(
-                [p for p, _ in plain], w1, b1, w2, b2, w_out, b_out,
+            out = fused_mlp_ln_parts(
+                [flat(p) for p, _ in plain], w1, b1, w2, b2, w_out, b_out,
                 ln[0], ln[1], dtype=dt,
-                pres=() if pre is None else (pre,),
+                pres=() if pre is None else (flat(pre),),
                 w1_rows=[rows for _, rows in plain],
                 res_idx=res_plain, res_dual=self.residual_dual)
+            if len(lead) == 2:
+                unflat = lambda o: o.reshape(lead + (o.shape[-1],))
+                return (tuple(unflat(o) for o in out)
+                        if isinstance(out, tuple) else unflat(out))
+            return out
 
         if any(isinstance(p, Gathered) for p in parts):
             from gen_fvgn_tpu.ops.blocksparse import apply_linop

@@ -141,23 +141,33 @@ def use_pallas_spmm(enabled: bool = True) -> None:
 
 
 def _apply_block_op(op: BlockOp, x: jnp.ndarray) -> jnp.ndarray:
-    """x [n_in, F] -> [n_out, F] (F may itself be a flattened feature pack).
+    """x [n_in, ...trailing] -> [n_out, ...trailing]; trailing dims are
+    flattened into one lane axis F. This is what makes the engine
+    batch-scalable: a batched operand [n_in, B, C] rides the LANE dimension
+    of one unbatched gather+matmul (F = B·C) instead of a vmapped leading
+    axis, which XLA lowers to serialized while-loops above ~batch 8 (the
+    round-2 batch-scaling cliff).
 
     bf16 blocks cast the operand to bf16 for the MXU (f32 accumulation)."""
-    if op.take_idx is not None and x.shape[-1] * x.dtype.itemsize >= 256:
-        # dtype parity with the matmul path: bf16 blocks round the operand
-        # to bf16; the output dtype is bf16 only when the input was bf16
-        if op.blocks.dtype == jnp.bfloat16 and x.dtype != jnp.bfloat16:
-            return jnp.take(x.astype(jnp.bfloat16), op.take_idx,
-                            axis=0).astype(x.dtype)
-        return jnp.take(x, op.take_idx, axis=0)
-    if _USE_PALLAS and x.ndim == 2 and x.shape[1] % 128 == 0:
+    trailing = x.shape[1:]
+    if x.ndim > 2:
+        x = x.reshape(x.shape[0], -1)
+    width = x.shape[1]
+    if op.take_idx is not None and width * x.dtype.itemsize >= 256:
+        # a row gather is exact in the operand dtype — no bf16 roundtrip
+        # even when the (structural) blocks are stored bf16, so f32 streams
+        # (e.g. the Gathered-part projections accumulated in f32) keep
+        # full precision through the gather
+        out = jnp.take(x, op.take_idx, axis=0)
+        return out.reshape((op.n_out,) + trailing)
+    if _USE_PALLAS and width % 128 == 0:
         from gen_fvgn_tpu.ops.pallas_spmm import pallas_block_spmm
         pet = (jnp.bfloat16 if (x.dtype == jnp.bfloat16
                                 and op.blocks.dtype == jnp.bfloat16)
                else jnp.float32)
         xin = x.astype(jnp.bfloat16) if op.blocks.dtype == jnp.bfloat16 else x
-        return pallas_block_spmm(op.blocks, op.in_tile, xin, out_dtype=pet)
+        out = pallas_block_spmm(op.blocks, op.in_tile, xin, out_dtype=pet)
+        return out.reshape((op.n_out,) + trailing)
     n_ti = x.shape[0] // op.tile_in
     xt = x.reshape(n_ti, op.tile_in, -1)
     if op.blocks.dtype == jnp.bfloat16:
@@ -172,12 +182,14 @@ def _apply_block_op(op: BlockOp, x: jnp.ndarray) -> jnp.ndarray:
            else jnp.float32)
     out = jnp.einsum("nkab,nkbf->naf", op.blocks, gathered,
                      preferred_element_type=pet)
-    return out.reshape(op.n_out, x.shape[1])
+    return out.reshape((op.n_out,) + trailing)
 
 
 @jax.custom_vjp
 def apply_linop(op: LinOp, x: jnp.ndarray) -> jnp.ndarray:
-    """out = A @ x with matmul-only forward AND backward."""
+    """out = A @ x with matmul-only forward AND backward. x may carry any
+    trailing dims ([n_in, F] or [n_in, B, C] — flattened into the lane
+    axis)."""
     return _apply_block_op(op.fwd, x)
 
 
@@ -193,11 +205,9 @@ apply_linop.defvjp(_apply_fwd, _apply_bwd)
 
 
 def apply_linop_multi(op: LinOp, x: jnp.ndarray) -> jnp.ndarray:
-    """Apply to [n_in, ...trailing] by flattening trailing dims."""
-    trailing = x.shape[1:]
-    flat = x.reshape(x.shape[0], -1)
-    out = apply_linop(op, flat)
-    return out.reshape((op.fwd.n_out,) + trailing)
+    """Alias kept for callers that predate trailing-dim support in
+    apply_linop itself."""
+    return apply_linop(op, x)
 
 
 # ---------- host-side COO builders for the standard mesh operators ----------

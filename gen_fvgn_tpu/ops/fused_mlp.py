@@ -363,7 +363,9 @@ def fused_mlp_ln_parts(parts: Sequence[jnp.ndarray], w1, b1, w2, b2, w3, b3,
         for w in widths:
             offs.append(offs[-1] + w)
         w1_rows = [(offs[i], offs[i + 1]) for i in range(len(parts))]
-    m = parts[0].shape[0] if parts else pres[0].shape[0]
+    assert parts, "fused_mlp_ln_parts needs at least one plain part " \
+                  "(the kernels take tile shape/dtype from parts[0])"
+    m = parts[0].shape[0]
     m_pad = ((m + 255) // 256) * 256
 
     parts16, w1s = [], []
@@ -381,9 +383,11 @@ def fused_mlp_ln_parts(parts: Sequence[jnp.ndarray], w1, b1, w2, b2, w3, b3,
             p = jnp.pad(p, ((0, m_pad - m), (0, 0)))
         parts16.append(p)
         w1s.append(w1p)
+    # pres keep their incoming dtype (f32 for the Gathered-part projections:
+    # they join the kernel's f32 h1pre accumulation, so rounding them to bf16
+    # here would be a precision asymmetry vs the plain parts)
     pres16 = []
     for p in pres:
-        p = p.astype(dtype)
         if m_pad != m:
             p = jnp.pad(p, ((0, m_pad - m), (0, 0)))
         pres16.append(p)

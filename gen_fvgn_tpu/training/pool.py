@@ -295,10 +295,7 @@ class EnvPool:
         if not hasattr(self, "_age_order") or len(self._age_order) != len(self.envs):
             self._age_order = list(range(len(self.envs)))
         if export_dir is not None:
-            try:
-                self.export_env(self._age_order[0], export_dir, tag="_reset")
-            except Exception:
-                pass
+            self._try_export(self._age_order[0], export_dir)
         pos = self._age_order.pop(0)
         new_env = self._make_env(self.envs[pos].case, self.envs[pos].case_idx)
         self.envs[pos] = new_env
@@ -369,6 +366,20 @@ class EnvPool:
         return Environment(case=case, sample=sample, theta_sample=ts,
                            case_idx=case_idx)
 
+    def _try_export(self, pos: int, export_dir: str) -> None:
+        """Export-on-reset wrapper: a failing exporter (full disk, bad mesh)
+        must not kill training, but it must leave a trace — the retiring
+        solution is otherwise silently lost."""
+        try:
+            self.export_env(pos, export_dir, tag="_reset")
+        except Exception as exc:                      # noqa: BLE001
+            import warnings
+            env = self.envs[pos]
+            warnings.warn(
+                f"export-on-reset failed for case "
+                f"{env.case.get('case_name', '?')} (env {pos}, "
+                f"dir {export_dir!r}): {type(exc).__name__}: {exc}")
+
     def export_env(self, pos: int, out_dir: str, tag: str = "") -> str:
         """Export an environment's current solution to Tecplot (parity with
         the reference's export-on-reset, Graph_loader.py:231-321)."""
@@ -395,10 +406,7 @@ class EnvPool:
         if not hasattr(self, "_age_order") or len(self._age_order) != len(self.envs):
             self._age_order = list(range(len(self.envs)))
         if export_dir is not None:
-            try:
-                self.export_env(self._age_order[0], export_dir, tag="_reset")
-            except Exception:
-                pass
+            self._try_export(self._age_order[0], export_dir)
         pos = self._age_order.pop(0)
         new_env = self._make_env(self.envs[pos].case,
                                  self.envs[pos].case_idx)

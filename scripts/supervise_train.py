@@ -22,9 +22,16 @@ import sys
 import time
 
 
-def find_latest_state(log_dir: str):
-    """Newest states/*.state (orbax dir or pickle file) under log_dir."""
-    newest, newest_t = None, -1.0
+def find_latest_state(log_dir: str, since: float = 0.0):
+    """Newest states/*.state (orbax dir or pickle file) under log_dir.
+
+    Returns (fresh, stale): `fresh` is the newest slot written at/after
+    `since` (i.e. by THIS supervised run), `stale` the newest older one.
+    Several experiments can share a log dir, so a slot predating the
+    supervisor belongs to some other run — resuming from it silently would
+    cross experiments (the caller warns)."""
+    fresh, fresh_t = None, -1.0
+    stale, stale_t = None, -1.0
     for root, dirs, files in os.walk(log_dir):
         if os.path.basename(root) != "states":
             continue
@@ -33,10 +40,12 @@ def find_latest_state(log_dir: str):
                 continue
             path = os.path.join(root, name)
             t = os.path.getmtime(path)
-            if t > newest_t:
-                newest, newest_t = path, t
+            if t >= since and t > fresh_t:
+                fresh, fresh_t = path, t
+            elif t < since and t > stale_t:
+                stale, stale_t = path, t
         dirs[:] = []  # don't descend into the states dir itself
-    return newest
+    return fresh, stale
 
 
 def with_resume(cmd, ckpt):
@@ -71,10 +80,17 @@ def main(argv=None):
     args = ap.parse_args(argv[:split])
     cmd = argv[split + 1:]
 
+    start_time = time.time()
     attempt = 0
     while True:
         run_cmd = list(cmd)
-        ckpt = find_latest_state(args.log_dir)
+        ckpt, stale = find_latest_state(args.log_dir, since=start_time)
+        if attempt > 0 and ckpt is None and stale is not None:
+            print(f"[supervise] WARNING: resuming from {stale}, which "
+                  f"predates this supervisor — it may belong to a "
+                  f"different experiment sharing {args.log_dir!r}",
+                  flush=True)
+            ckpt = stale
         if attempt > 0 and ckpt is not None:
             run_cmd = with_resume(run_cmd, ckpt)
         print(f"[supervise] attempt {attempt}: {' '.join(run_cmd)}",

@@ -137,6 +137,55 @@ def test_full_forward_matches(setup):
                                rtol=1e-2, atol=1e-3)
 
 
+def test_block_loss_grad_fused_vs_unfused():
+    """Loss-GRADIENT equivalence: bf16 block engine with the fused Pallas
+    MLP kernels vs the same engine with the unfused layer chain. Covers the
+    residual/pres cotangent routing (res_idx, res_dual, Gathered-part
+    projections) end to end under the real batched training loss — a routing
+    bug would corrupt training gradients silently (round-2 advisor
+    finding)."""
+    from gen_fvgn_tpu.models import mlp as mlp_mod
+    from gen_fvgn_tpu.training.forward import training_loss
+    from gen_fvgn_tpu.training.forward_block import forward_batch_block
+    from gen_fvgn_tpu.training.train_block import init_train_state_block
+
+    cfg = Config(batch_size=2, dataset_size=2, mxu_dtype="bfloat16",
+                 hidden_size=128, message_passing_num=1, slice_num=8,
+                 attn_heads=4)
+    raw = rcm_reorder({k: v for k, v in cavity_quad_mesh(6).items()})
+    mesh = compile_mesh(raw)
+    case = synthetic_case(mesh, continuity=1, convection=1, grad_p=1,
+                          mu=0.05, sigma=(1, 1, 1))
+    pool = EnvPool([], cfg, seed=0, pad_multiple=256, cases=[case],
+                   engine="block")
+    static = pool.statics[0]
+    dyn = pool.gather_block(np.asarray([0, 1]))
+    state, apply_fn = init_train_state_block(cfg, dyn, static, seed=0)
+
+    def loss_fn(params):
+        out = forward_batch_block(apply_fn, params, state.norm_state,
+                                  dyn, static, cfg,
+                                  accumulate_normalizer=False)
+        return training_loss(out, cfg)
+
+    try:
+        mlp_mod.use_fused_mlp(True)
+        g_fused = jax.grad(loss_fn)(state.params)
+        mlp_mod.use_fused_mlp(False)
+        g_plain = jax.grad(loss_fn)(state.params)
+    finally:
+        mlp_mod.use_fused_mlp(True)
+
+    flat_f, _ = jax.tree_util.tree_flatten_with_path(g_fused)
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(g_plain)
+    for (path, a), (_, b) in zip(flat_f, flat_p):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        denom = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(
+            a / denom, b / denom, atol=5e-2,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
 def test_forward_block_padding_value_invariance(setup):
     """The take-based gather forward leaves GARBAGE in padded edge rows
     (instead of the matmul path's zeros) — safe only because every
