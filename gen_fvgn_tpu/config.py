@@ -59,6 +59,12 @@ class Config:
     dp_devices: int = 1                # data-parallel shard count of the batch axis
     engine: str = "segment"            # {"segment", "block"} sparse-op engine
     tile: int = 256                    # block-engine dense tile size
+    wlsq_block_rows: str = "grad"      # {"grad", "full"}: fold only the
+                                       # gradient rows (q=0,1) of the WLSQ
+                                       # solve into the block operator, or
+                                       # all k rows (Hessians — needed for
+                                       # LSFD on the block engine; ~k/2×
+                                       # the wlsq operator traffic)
     bucket_tiers: bool = False         # segment engine: per-size padding tiers
                                        # (batches stay within a tier) instead of
                                        # one bucket padded to the largest case

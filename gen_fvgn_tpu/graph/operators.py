@@ -94,9 +94,11 @@ class MeshOperators:
     edge_diff: LinOp    # [E←N] x[s] − x[r]
     scat_r: LinOp       # [N←E]
     scat_s: LinOp       # [N←E]
-    # WLSQ folded gradient operator (gradient rows q=0,1 only — the live
-    # residual path never consumes higher moments)
-    wlsq: LinOp         # [N·2 ← N]
+    # WLSQ folded derivative operator [N·n_q ← N]: n_q=2 folds the gradient
+    # rows only (the FV residual path consumes nothing higher); n_q=k folds
+    # every derivative row of the order-k basis (Hessians — the block LSFD
+    # path needs rows 2,3)
+    wlsq: LinOp
     # FV interpolation / accumulation
     n2c_m0: LinOp       # [Nc←N] cell mean
     n2c_mx: LinOp       # [Nc←N] mean of r_x ·
@@ -111,6 +113,8 @@ class MeshOperators:
     face_inflow: jnp.ndarray   # [E, 1] 1.0 on INFLOW faces
     face_wall: jnp.ndarray     # [E, 1] 1.0 on WALL faces
     s_out: jnp.ndarray         # [E, 2] outward surface vector on OUTFLOW faces
+    # number of folded WLSQ derivative rows per node (static metadata)
+    wlsq_n_q: int = struct.field(pytree_node=False, default=2)
 
 
 def _pad_to(x: int, m: int) -> int:
@@ -119,14 +123,20 @@ def _pad_to(x: int, m: int) -> int:
 
 def build_mesh_operators(mesh: Dict[str, np.ndarray], order: str,
                          sizes, tile: int = 256,
-                         model_ops_bf16: bool = True) -> MeshOperators:
+                         model_ops_bf16: bool = True,
+                         wlsq_rows: str = "grad") -> MeshOperators:
     """Build all operators for ONE compiled+prepared mesh (with stencil and
     WLSQ statics attached), padded to `sizes` (PadSizes).
 
     model_ops_bf16: store the structural (0/±1, exactly-representable)
     message-passing operators in bfloat16 — they act on network activations
     that are bf16 on the MXU anyway, and operator blocks dominate HBM
-    traffic. FV/WLSQ operators stay float32."""
+    traffic. FV/WLSQ operators stay float32.
+
+    wlsq_rows: "grad" folds only the gradient rows q=0,1 (the FV residual
+    path never consumes higher moments); "full" folds all k rows of the
+    order-k solve so Hessian-consuming paths (LSFD, FVscheme.py:513-615)
+    run on this engine too — at ~k/2× the wlsq operator traffic."""
     from gen_fvgn_tpu.ops.wlsq import WLSQ_DIM, odd_sign_vector
 
     pos = mesh["node|pos"].astype(np.float64)
@@ -144,10 +154,11 @@ def build_mesh_operators(mesh: Dict[str, np.ndarray], order: str,
     nc = centroid.shape[0]
     k = WLSQ_DIM[order]
 
+    n_q = 2 if wlsq_rows == "grad" else k
     np_pad = sizes.n_nodes
     e_pad = sizes.n_faces
     c_pad = sizes.n_cells
-    nk_pad = _pad_to(np_pad * 2, tile)   # gradient rows only (see below)
+    nk_pad = _pad_to(np_pad * n_q, tile)
 
     s, r = face_node[0], face_node[1]
 
@@ -186,14 +197,14 @@ def build_mesh_operators(mesh: Dict[str, np.ndarray], order: str,
     ss, rr = stencil[0], stencil[1]
     row_fwd = wB * colscale[rr]                     # [Es, k]
     row_rev = (wB * signs) * colscale[ss]
-    # Only the gradient rows (q=0,1) are folded: the live residual path
-    # never consumes the Hessian (reference parity — the Hessian term is
-    # disabled, /root/reference/src/FVMmodel/FVdiscretization/FVscheme.py:668
-    # — and conserved/non-conserved forms use first derivatives only), so
-    # emitting k rows would multiply operator storage and HBM traffic by
-    # k/2 for discarded outputs.
-    n_q = 2
-    sv_fwd = np.einsum("eql,el->eq", S[rr][:, :n_q], row_fwd)  # [Es, 2]
+    # With wlsq_rows="grad" only the gradient rows (q=0,1) are folded: the
+    # FV residual path never consumes the Hessian (reference parity — the
+    # Hessian term is disabled,
+    # /root/reference/src/FVMmodel/FVdiscretization/FVscheme.py:668 — and
+    # conserved/non-conserved forms use first derivatives only), so emitting
+    # k rows would multiply operator storage and HBM traffic by k/2 for
+    # discarded outputs. "full" emits all k rows for the LSFD path.
+    sv_fwd = np.einsum("eql,el->eq", S[rr][:, :n_q], row_fwd)  # [Es, n_q]
     sv_rev = np.einsum("eql,el->eq", S[ss][:, :n_q], row_rev)
 
     qs = np.arange(n_q)
@@ -272,4 +283,5 @@ def build_mesh_operators(mesh: Dict[str, np.ndarray], order: str,
         face_inflow=jnp.asarray(face_inflow),
         face_wall=jnp.asarray(face_wall),
         s_out=jnp.asarray(s_out),
+        wlsq_n_q=n_q,
     )

@@ -41,8 +41,10 @@ class DynamicPack:
 
 
 def build_static_pack(mesh: Dict[str, np.ndarray], order: str, sizes,
-                      tile: int = 256) -> StaticPack:
-    ops = build_mesh_operators(mesh, order, sizes, tile)
+                      tile: int = 256,
+                      wlsq_rows: str = "grad") -> StaticPack:
+    ops = build_mesh_operators(mesh, order, sizes, tile,
+                               wlsq_rows=wlsq_rows)
     f32 = np.float32
     n = mesh["node|pos"].shape[0]
     e = mesh["face|face_node"].shape[1]

@@ -220,8 +220,9 @@ class EnvPool:
         from gen_fvgn_tpu.graph.packs import (build_static_pack,
                                               dynamic_from_sample)
         self.statics = [
-            jax.device_put(build_static_pack(c["mesh"], self.cfg.order,
-                                             self.case_sizes[ci], self.tile))
+            jax.device_put(build_static_pack(
+                c["mesh"], self.cfg.order, self.case_sizes[ci], self.tile,
+                wlsq_rows=getattr(self.cfg, "wlsq_block_rows", "grad")))
             for ci, c in enumerate(self.cases)]
 
         # one device dynamic pool per case (shapes differ across cases)

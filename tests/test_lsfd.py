@@ -48,3 +48,80 @@ def test_first_order_rejected(sample):
     with pytest.raises(ValueError):
         lsfd_residual(np.zeros((n, 3), np.float32),
                       np.zeros((n, 2), np.float32), sample, order="1st")
+
+
+@pytest.fixture(scope="module")
+def block_setup():
+    from gen_fvgn_tpu.graph.operators import rcm_reorder
+    from gen_fvgn_tpu.meshes.geometry import compile_mesh
+    cfg = Config(batch_size=2, dataset_size=2, wlsq_block_rows="full",
+                 engine="block")
+    raw = rcm_reorder({k: v for k, v in cavity_quad_mesh(10).items()})
+    case = synthetic_case(compile_mesh(raw), continuity=1, convection=1,
+                          grad_p=1, mu=0.1, sigma=(1, 1, 1))
+    pool = EnvPool([], cfg, seed=0, pad_multiple=256, cases=[case],
+                   engine="block")
+    return cfg, pool
+
+
+def test_lsfd_block_matches_segment(block_setup):
+    """Block-engine LSFD (full folded WLSQ rows, Hessians included) vs the
+    segment-engine reference — same residual per sample, batched."""
+    import jax.numpy as jnp
+    from gen_fvgn_tpu.fv.lsfd import lsfd_residual_block
+
+    cfg, pool = block_setup
+    static = pool.statics[0]
+    assert static.ops.wlsq_n_q == 5          # full 2nd-order rows
+    dyn = pool.gather_block(np.asarray([0, 1]))
+    sample0 = pool.envs[0].sample
+
+    pos = np.asarray(sample0.pos)
+    n_pad = pos.shape[0]
+    rng = np.random.default_rng(3)
+    uvp = rng.normal(size=(2, n_pad, 3)).astype(np.float32)
+    uvp *= np.asarray(sample0.node_mask)[None, :, None]
+    uv_hat = uvp[..., 0:2] * 0.8
+
+    # segment reference, per sample
+    raw_ref = []
+    for i in range(2):
+        _, raw = lsfd_residual(uvp[i], uv_hat[i], pool.envs[i].sample,
+                               order=cfg.order)
+        raw_ref.append(float(raw))
+
+    # block engine, folded batch
+    norm_b, raw_b = lsfd_residual_block(
+        jnp.swapaxes(jnp.asarray(uvp), 0, 1),
+        jnp.swapaxes(jnp.asarray(uv_hat), 0, 1), dyn, static,
+        order=cfg.order)
+    np.testing.assert_allclose(np.asarray(raw_b), np.asarray(raw_ref),
+                               rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(norm_b), 1.0, rtol=1e-5)
+
+    # per-sample (2-D) convenience path
+    dyn0 = pool.gather_block(np.asarray([0]))
+    import jax
+    dyn0 = jax.tree_util.tree_map(lambda x: x[0], dyn0)
+    _, raw0 = lsfd_residual_block(jnp.asarray(uvp[0]),
+                                  jnp.asarray(uv_hat[0]), dyn0, static,
+                                  order=cfg.order)
+    np.testing.assert_allclose(float(raw0), raw_ref[0], rtol=5e-3)
+
+
+def test_lsfd_block_needs_full_rows(block_setup):
+    """A grad-only static pack must be rejected loudly."""
+    import jax.numpy as jnp
+    from gen_fvgn_tpu.fv.lsfd import lsfd_residual_block
+    from gen_fvgn_tpu.graph.packs import build_static_pack
+
+    cfg, pool = block_setup
+    grad_static = build_static_pack(pool.cases[0]["mesh"], cfg.order,
+                                    pool.case_sizes[0], tile=256,
+                                    wlsq_rows="grad")
+    dyn = pool.gather_block(np.asarray([0, 1]))
+    n_pad = grad_static.pos.shape[0]
+    z3 = jnp.zeros((n_pad, 2, 3))
+    with pytest.raises(ValueError, match="full"):
+        lsfd_residual_block(z3, z3[..., 0:2], dyn, grad_static,
+                            order=cfg.order)
