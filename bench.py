@@ -1,11 +1,15 @@
 """Benchmark of record: training steps/sec/chip on the lid-driven cavity
-101×101 mesh (the reference's benchmark case, README.md/grad_rec_speed_test).
+101×101 mesh (the reference's benchmark case, README.md/grad_rec_speed_test),
+plus a secondary large-mesh entry (27.8k-node poly cylinder) and a
+batch-scaling table — so perf is always measured on two mesh scales and
+across batch sizes (round-2 verdict #2/#10).
 
 Measures the FULL train step — per-graph normalization, TransFVGN_v2
 forward, BC enforcement, IMEX mixing, folded-WLSQ gradient reconstruction,
 conserved-form FV residual assembly, log-loss backward, and the Adam
-update — at batch_size 8 on one chip, on the block-sparse MXU engine
-(every graph transfer a precomputed dense-tile matmul; RCM-banded mesh).
+update — on the block-sparse MXU engine (every graph transfer a precomputed
+dense-tile matmul; RCM-banded mesh; batch-major batched step, flat-index
+gathers — no vmap).
 
 Timing methodology: N python-loop steps with a final loss-VALUE readback,
 which drains the execution queue — dispatch saturation makes this a faithful
@@ -18,11 +22,8 @@ not compute-bound — measured sustained HBM bandwidth on the bench chip is
 ~420 GB/s, and the h=128 matmuls sit on that roofline (a [165888,128]x
 [128,128] bf16 matmul sustains ~26 TF/s = ~407 GB/s effective), so low
 absolute MFU is the expected physics of a 128-wide graph net, not head-room.
-At the round-2 end state (~38 ms/step) the fused MLP kernels measure AT
-their byte roofline and the remaining step is a tail of near-roofline
-operator/stream fusions — see ROUND_NOTES.md for the per-change
-measurements and scripts/profile_block_step.py for source-attributed
-profiles.
+See ROUND_NOTES.md for per-change measurements and
+scripts/profile_block_step.py for source-attributed profiles.
 
 vs_baseline: the reference repo publishes NO recorded numbers (BASELINE.md).
 The denominator is an ASSUMED CONSTANT of 10 steps/sec for the
@@ -30,6 +31,9 @@ torch.compile single-GPU reference at this workload (batch 8 × ~10k-node
 graphs) — not a documented measurement. It is held fixed so the ratio is
 comparable across rounds; BASELINE.md's "≥5×" target reads as
 vs_baseline ≥ 5.0 under this convention.
+
+Env knobs: BENCH_BATCH (8), BENCH_STEPS (20), BENCH_TILE (256),
+BENCH_SWEEP ("8,16,32"; "" disables), BENCH_SECONDARY ("poly"; "" disables).
 """
 
 import json
@@ -40,7 +44,11 @@ import time
 import numpy as np
 
 ASSUMED_REFERENCE_STEPS_PER_SEC = 10.0   # assumed constant, NOT a measurement
-CASE = "/root/reference/mesh_example/lid_driven_cavity/lid_driven_cavity_101x101-Re=100"
+CASES = {
+    "cavity": ("/root/reference/mesh_example/lid_driven_cavity/"
+               "lid_driven_cavity_101x101-Re=100"),
+    "poly": "/root/reference/mesh_example/cylinder_flow_poly",
+}
 
 # peak dense bf16 FLOP/s per chip by device kind (public TPU specs)
 PEAK_BF16 = {
@@ -54,27 +62,22 @@ PEAK_BF16 = {
 }
 
 
-def main():
-    from gen_fvgn_tpu.utils.jax_setup import setup_cache
-    setup_cache()
+def bench_case(case_dir: str, batch_size: int, n_steps: int, tile: int,
+               pad: int, cost: bool = False):
+    """Compile + time the block train step on one case; returns a dict."""
     import jax
     from gen_fvgn_tpu.config import Config
     from gen_fvgn_tpu.training.pool import EnvPool
     from gen_fvgn_tpu.training.train_block import (init_train_state_block,
                                                    make_train_step_block)
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "8"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
-    tile = int(os.environ.get("BENCH_TILE", "256"))
-
     cfg = Config(batch_size=batch_size, dataset_size=batch_size,
                  n_epochs=1000, mxu_dtype="bfloat16", tile=tile)
-
     t0 = time.time()
     # pad to 512 so every fused-MLP M dim hits the fast 512-row kernel tile
     # with zero pad copies (256-padding forces either pads or 256-row tiles,
     # both measured ~ -1 steps/s)
-    pool = EnvPool([CASE], cfg, seed=0, pad_multiple=max(tile, 512),
+    pool = EnvPool([case_dir], cfg, seed=0, pad_multiple=max(tile, pad),
                    engine="block", tile=tile)
     static = pool.statics[0]
     dyn = pool.gather_block(np.arange(batch_size))
@@ -84,18 +87,18 @@ def main():
     state, apply_fn = init_train_state_block(cfg, dyn, static, seed=0)
     step = make_train_step_block(cfg, apply_fn, donate=True)
 
-    # XLA-counted FLOPs + logical bytes for the whole step (for MFU)
     flops_per_step = bytes_accessed = None
-    try:
-        ca = step.lower(state, dyn, static).compile().cost_analysis()
-        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        flops_per_step = float(ca.get("flops", 0.0)) or None
-        bytes_accessed = float(ca.get("bytes accessed", 0.0)) or None
-    except Exception:
-        pass
+    if cost:
+        try:
+            ca = step.lower(state, dyn, static).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops_per_step = float(ca.get("flops", 0.0)) or None
+            bytes_accessed = float(ca.get("bytes accessed", 0.0)) or None
+        except Exception:
+            pass
 
     state, metrics, _ = step(state, dyn, static)  # compile
-    first_losses = np.asarray([float(metrics.loss)])
+    first_loss = float(metrics.loss)
     compile_s = time.time() - t0
     for _ in range(2):                            # steady-state warmup
         state, metrics, _ = step(state, dyn, static)
@@ -107,31 +110,78 @@ def main():
     final_loss = float(metrics.loss)              # forces queue drain
     elapsed = time.time() - t0
 
-    steps_per_sec = n_steps / elapsed
+    sps = n_steps / elapsed
+    out = {
+        "batch": batch_size,
+        "steps_per_sec": round(sps, 3),
+        "solves_per_sec": round(sps * batch_size, 1),
+        "ms_per_step": round(1e3 * elapsed / n_steps, 2),
+        "n_nodes": int(np.asarray(static.node_mask).sum()),
+    }
+    if flops_per_step:
+        out["flops_per_step_g"] = round(flops_per_step / 1e9, 2)
+        out["achieved_tflops"] = round(flops_per_step * sps / 1e12, 2)
+    if bytes_accessed:
+        out["xla_bytes_per_step_gb"] = round(bytes_accessed / 1e9, 2)
+    print(f"# {os.path.basename(case_dir)} b{batch_size}: "
+          f"{sps:.2f} steps/s ({1e3 * elapsed / n_steps:.1f} ms) "
+          f"load={load_s:.0f}s compile={compile_s:.0f}s "
+          f"loss0={first_loss:.3f} loss={final_loss:.3f}", file=sys.stderr)
+    return out
+
+
+def main():
+    from gen_fvgn_tpu.utils.jax_setup import setup_cache
+    setup_cache()
+    import jax
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "8"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    tile = int(os.environ.get("BENCH_TILE", "256"))
+    sweep = os.environ.get("BENCH_SWEEP", "8,16,32")
+    secondary = os.environ.get("BENCH_SECONDARY", "poly")
+
+    primary = bench_case(CASES["cavity"], batch_size, n_steps, tile, 512,
+                         cost=True)
+    steps_per_sec = primary["steps_per_sec"]
+
     result = {
         "metric": "train_steps_per_sec_per_chip",
-        "value": round(steps_per_sec, 4),
-        "unit": "steps/s (batch=8, cavity 101x101, TransFVGN_v2, block-MXU engine)",
+        "value": steps_per_sec,
+        "unit": (f"steps/s (batch={batch_size}, cavity 101x101, "
+                 "TransFVGN_v2, block-MXU engine)"),
         "vs_baseline": round(steps_per_sec / ASSUMED_REFERENCE_STEPS_PER_SEC,
                              4),
     }
     device = jax.devices()[0]
     peak = PEAK_BF16.get(device.device_kind)
-    if flops_per_step:
-        result["flops_per_step"] = round(flops_per_step / 1e9, 2)  # GFLOP
-        achieved = flops_per_step * steps_per_sec
-        result["achieved_tflops"] = round(achieved / 1e12, 2)
+    if "flops_per_step_g" in primary:
+        result["flops_per_step"] = primary["flops_per_step_g"]
+        result["achieved_tflops"] = primary["achieved_tflops"]
         if peak:
-            result["mfu"] = round(achieved / peak, 4)
-    if bytes_accessed:
-        # logical (pre-fusion) bytes; real traffic is lower — see docstring
-        result["xla_bytes_per_step_gb"] = round(bytes_accessed / 1e9, 2)
+            result["mfu"] = round(
+                primary["achieved_tflops"] * 1e12 / peak, 4)
+    if "xla_bytes_per_step_gb" in primary:
+        result["xla_bytes_per_step_gb"] = primary["xla_bytes_per_step_gb"]
     result["device_kind"] = device.device_kind
+
+    if sweep:
+        rows = []
+        for bsz in [int(x) for x in sweep.split(",")]:
+            if bsz == batch_size:
+                rows.append(primary)
+            else:
+                rows.append(bench_case(CASES["cavity"], bsz, n_steps, tile,
+                                       512))
+        result["batch_scaling_cavity"] = [
+            {k: r[k] for k in ("batch", "steps_per_sec", "solves_per_sec",
+                               "ms_per_step")} for r in rows]
+    if secondary:
+        sec = bench_case(CASES[secondary], batch_size, n_steps, tile, 512,
+                         cost=True)
+        result["secondary_case"] = {"case": secondary, **sec}
+
     print(json.dumps(result))
-    print(f"# load={load_s:.1f}s compile+first={compile_s:.1f}s "
-          f"step={1e3 * elapsed / n_steps:.2f}ms loss0={first_losses[0]:.4f} "
-          f"loss={final_loss:.4f} backend={jax.default_backend()}",
-          file=sys.stderr)
 
 
 if __name__ == "__main__":

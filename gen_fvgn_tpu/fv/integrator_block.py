@@ -4,20 +4,16 @@ Mathematically identical to fv/integrator.py (the segment-op reference
 implementation; see its docstring for the parity map to the reference code)
 but every sparse transfer — WLSQ gradients, node→cell/face interpolation,
 flux accumulation, cell→node smoothing — is a precomputed `LinOp` matmul.
+Operates on ONE sample's dynamic state with the shared StaticPack; the
+caller vmaps over the batch with in_axes=(0, 0, 0, 0, None).
 
-Layout: operates on the FOLDED batch layout [Np, B, C] — node axis leading,
-batch riding the lane dimension — so every LinOp applies as ONE unbatched
-gather+matmul over B·C lanes (the round-2 batch-scaling cliff came from
-vmapping these applies: XLA lowers vmapped gathers to serialized while-loops
-above ~batch 8). Per-sample callers pass [Np, C] / unstacked DynamicPack
-fields; they get the B=1 lane squeezed back out.
-
-Gradients are carried as SEPARATE gx/gy channel planes ([Np, B, 7] each)
-rather than a [Np, B, 7, 2] tensor — the folded WLSQ operator emits
-[Np·2 ← Np] gradient rows only (the live path never consumes higher
+Layout note: gradients are carried as SEPARATE gx/gy channel planes
+([Np, 7] each) rather than a [Np, 7, 2] tensor — the folded WLSQ operator
+emits [Np·2 ← Np] gradient rows only (the live path never consumes higher
 moments; the reference disables the Hessian term, FVscheme.py:668), and the
 split-plane layout removes every transpose/interleave data-formatting op
-from the residual assembly (measured ~1.4 ms/step on the bench workload).
+from the residual assembly (measured ~1.4 ms/step on the bench workload for
+the [Np,5,7]→[Np,7,2] swap alone).
 """
 
 from __future__ import annotations
@@ -41,142 +37,123 @@ def _interp(m0, mx, my, phi, gx, gy):
 
 
 def integrate_residuals_block(
-    uvp_new: jnp.ndarray,     # [Np, B, 3] folded (or [Np, 3] per-sample)
-    uv_hat: jnp.ndarray,      # [Np, B, 2]
-    uv_old: jnp.ndarray,      # [Np, B, 2]
-    dyn: DynamicPack,         # stacked [B, ...] (or unstacked per-sample)
+    uvp_new: jnp.ndarray,     # [Np, 3]
+    uv_hat: jnp.ndarray,      # [Np, 2]
+    uv_old: jnp.ndarray,      # [Np, 2]
+    dyn: DynamicPack,
     static: StaticPack,
     order: str = "2nd",
     conserved_form: bool = True,
     ncn_smooth: bool = True,
 ) -> Tuple[FVLosses, jnp.ndarray, jnp.ndarray]:
-    if uvp_new.ndim == 2:
-        # per-sample convenience wrapper: fold as B=1 and squeeze back
-        losses, rt_uvp, uvp_cell = integrate_residuals_block(
-            uvp_new[:, None], uv_hat[:, None], uv_old[:, None],
-            dyn.replace(theta=dyn.theta[None], sigma=dyn.sigma[None],
-                        dt=jnp.asarray(dyn.dt)[None],
-                        target_uv=dyn.target_uv[:, None]),
-            static, order=order, conserved_form=conserved_form,
-            ncn_smooth=ncn_smooth)
-        return losses, rt_uvp[:, 0], uvp_cell[:, 0]
-
     ops = static.ops
-    n_pad, b, _ = uvp_new.shape
+    n_pad = uvp_new.shape[0]
 
-    collection = jnp.concatenate([uvp_new, uv_hat, uv_old], axis=-1)  # [Np,B,7]
+    collection = jnp.concatenate([uvp_new, uv_hat, uv_old], axis=-1)  # [Np,7]
 
-    # WLSQ: one folded matmul → gradient planes gx, gy [Np, B, 7] each
+    # WLSQ: one folded matmul → gradient planes gx, gy [Np, 7] each
     # (rows 0,1 of the n_q folded derivative rows; n_q > 2 only when the
     # pack was built with wlsq_rows="full" for LSFD)
     nabla = apply_linop(ops.wlsq, collection).reshape(
-        n_pad, ops.wlsq_n_q, b, 7)
+        n_pad, ops.wlsq_n_q, 7)
     gx, gy = nabla[:, 0], nabla[:, 1]
 
-    theta = dyn.theta                                  # [B, 9]
-    coef = lambda i: theta[:, i][None, :, None]        # [1, B, 1]
-    unsteady_c, cont_c, conv_c = coef(0), coef(1), coef(2)
-    gradp_c, diff_c, source_c = coef(3), coef(4), coef(5)
-    cells_area = static.cells_area[:, None, :]         # [Nc, 1, 1]
-    dt_b = jnp.asarray(dyn.dt)[None, :, None]          # [1, B, 1]
+    theta = dyn.theta
+    unsteady_c, cont_c, conv_c = theta[0], theta[1], theta[2]
+    gradp_c, diff_c, source_c = theta[3], theta[4], theta[5]
+    cells_area = static.cells_area                                    # [Nc,1]
 
     phi_cell = _interp(ops.n2c_m0, ops.n2c_mx, ops.n2c_my,
-                       collection, gx, gy)                         # [Nc,B,7]
-    gx5, gy5 = gx[..., 0:5], gy[..., 0:5]
+                       collection, gx, gy)                            # [Nc,7]
+    gx5, gy5 = gx[:, 0:5], gy[:, 0:5]
     # ONE wide n2f_m0 apply for [phi5 | gx5 | gy5 | y]: the operator tiles
     # are read once instead of four times (the step is HBM-bound; operator
     # traffic is its critical path)
     face_m0 = apply_linop(
         ops.n2f_m0,
-        jnp.concatenate([collection[..., 0:5], gx5, gy5, dyn.target_uv],
-                        axis=-1))                                  # [E,B,17]
-    phi_face = face_m0[..., 0:5] + \
+        jnp.concatenate([collection[:, 0:5], gx5, gy5, dyn.target_uv],
+                        axis=-1))                                     # [E,17]
+    phi_face = face_m0[:, 0:5] + \
         apply_linop(ops.n2f_mx, gx5) + \
-        apply_linop(ops.n2f_my, gy5)                               # [E,B,5]
-    gx_face = face_m0[..., 5:10]                                   # [E,B,5]
-    gy_face = face_m0[..., 10:15]
-    y_face = face_m0[..., 15:17]                                   # [E,B,2]
-
-    face_inflow = ops.face_inflow[:, None, :]          # [E, 1, 1]
-    face_wall = ops.face_wall[:, None, :]
-    s_out = ops.s_out[:, None, :]                      # [E, 1, 2]
-
+        apply_linop(ops.n2f_my, gy5)                                  # [E,5]
+    gx_face = face_m0[:, 5:10]                                        # [E,5]
+    gy_face = face_m0[:, 10:15]
+    y_face = face_m0[:, 15:17]                                        # [E,2]
     def fix_bc(face_uv):
-        out = jnp.where(face_inflow > 0, y_face, face_uv)
-        return jnp.where(face_wall > 0, 0.0, out)
-    uv_face_new = fix_bc(phi_face[..., 0:2])
-    uv_face_hat = fix_bc(phi_face[..., 3:5])
-    p_face_new = phi_face[..., 2:3]
+        out = jnp.where(ops.face_inflow > 0, y_face, face_uv)
+        return jnp.where(ops.face_wall > 0, 0.0, out)
+    uv_face_new = fix_bc(phi_face[:, 0:2])
+    uv_face_hat = fix_bc(phi_face[:, 3:5])
+    p_face_new = phi_face[:, 2:3]
 
-    uvp_cell_new = phi_cell[..., 0:3]
-    uv_cell_old = phi_cell[..., 5:7]
-    gx_uv_hat = gx_face[..., 3:5]          # ∂x of u_hat, v_hat  [E,B,2]
-    gy_uv_hat = gy_face[..., 3:5]
+    uvp_cell_new = phi_cell[:, 0:3]
+    uv_cell_old = phi_cell[:, 5:7]
+    gx_uv_hat = gx_face[:, 3:5]            # ∂x of u_hat, v_hat  [E,2]
+    gy_uv_hat = gy_face[:, 3:5]
 
     # pressure-outlet traction balance (elementwise: s_out ≠ 0 only on
     # boundary OUTFLOW faces, which have exactly one owning cell):
     # visc[c] = diff · (∂x u_c · S_x + ∂y u_c · S_y)
-    visc_out = diff_c * (gx_face[..., 0:2] * s_out[..., 0:1]
-                         + gy_face[..., 0:2] * s_out[..., 1:2])
-    resid_out = visc_out - p_face_new * s_out
-    loss_press = safe_sqrt(jnp.sum(resid_out ** 2, axis=(0, 2)))   # [B]
+    visc_out = diff_c * (gx_face[:, 0:2] * ops.s_out[:, 0:1]
+                         + gy_face[:, 0:2] * ops.s_out[:, 1:2])
+    resid_out = visc_out - p_face_new * ops.s_out
+    loss_press = safe_sqrt(jnp.sum(resid_out ** 2))[None]
 
-    unsteady_cell = ((uvp_cell_new[..., 0:2] - uv_cell_old) / dt_b) \
-        * cells_area
+    unsteady_cell = ((uvp_cell_new[:, 0:2] - uv_cell_old) / dyn.dt) * cells_area
 
     def pool(per_cell):
-        return safe_sqrt(jnp.sum(per_cell ** 2, axis=0))           # [B, C]
+        return safe_sqrt(jnp.sum(per_cell ** 2, axis=0))
 
     if conserved_form:
         # flux matrix column d: conv·u_hat·u_hat_d + gradp·p·e_d − diff·∂d u_hat
-        mx = conv_c * uv_face_hat * uv_face_hat[..., 0:1] - diff_c * gx_uv_hat
-        my = conv_c * uv_face_hat * uv_face_hat[..., 1:2] - diff_c * gy_uv_hat
-        mx = jnp.concatenate([mx[..., 0:1] + gradp_c * p_face_new,
-                              mx[..., 1:2]], axis=-1)              # [E,B,2]
-        my = jnp.concatenate([my[..., 0:1],
-                              my[..., 1:2] + gradp_c * p_face_new], axis=-1)
+        mx = conv_c * uv_face_hat * uv_face_hat[:, 0:1] - diff_c * gx_uv_hat
+        my = conv_c * uv_face_hat * uv_face_hat[:, 1:2] - diff_c * gy_uv_hat
+        mx = jnp.concatenate([mx[:, 0:1] + gradp_c * p_face_new, mx[:, 1:2]],
+                             axis=-1)                                 # [E,2]
+        my = jnp.concatenate([my[:, 0:1], my[:, 1:2] + gradp_c * p_face_new],
+                             axis=-1)
         # one wide apply per flux operator: [continuity col | momentum cols]
         fx = apply_linop(ops.flux_x, jnp.concatenate(
-            [uv_face_new[..., 0:1], mx], axis=-1))                 # [Nc,B,3]
+            [uv_face_new[:, 0:1], mx], axis=-1))                      # [Nc,3]
         fy = apply_linop(ops.flux_y, jnp.concatenate(
-            [uv_face_new[..., 1:2], my], axis=-1))
-        cell_div = fx[..., 0:1] + fy[..., 0:1]                     # [Nc,B,1]
-        loss_cont = pool(cell_div) * theta[:, 1:2]                 # [B,1]
-        j_x = fx[..., 1:3] + fy[..., 1:3]                          # [Nc,B,2]
+            [uv_face_new[:, 1:2], my], axis=-1))
+        cell_div = fx[:, 0:1] + fy[:, 0:1]                            # [Nc,1]
+        loss_cont = pool(cell_div) * cont_c
+        j_x = fx[:, 1:3] + fy[:, 1:3]                                 # [Nc,2]
         rhs = j_x - source_c * cells_area
         loss_mom_cell = unsteady_c * unsteady_cell + rhs
-        loss_mom = pool(loss_mom_cell) * dyn.sigma[:, 0:2]         # [B,2]
+        loss_mom = pool(loss_mom_cell) * dyn.sigma[0:2]
     else:
         # one wide n2c_m0 apply for both gradient planes (operator tiles
         # read once — same trick as the n2f_m0 pack above)
         g_cell = apply_linop(ops.n2c_m0,
-                             jnp.concatenate([gx5, gy5], axis=-1)) # [Nc,B,10]
-        gx_cell, gy_cell = g_cell[..., 0:5], g_cell[..., 5:10]
-        uv_cell_hat = phi_cell[..., 3:5]
+                             jnp.concatenate([gx5, gy5], axis=-1))    # [Nc,10]
+        gx_cell, gy_cell = g_cell[:, 0:5], g_cell[:, 5:10]
+        uv_cell_hat = phi_cell[:, 3:5]
 
-        cell_div = (gx_cell[..., 0:1] + gy_cell[..., 1:2]) * cells_area
-        loss_cont = pool(cell_div) * theta[:, 1:2]
+        cell_div = (gx_cell[:, 0:1] + gy_cell[:, 1:2]) * cells_area
+        loss_cont = pool(cell_div) * cont_c
 
         # (u·∇)u per cell: u ∂x u_c + v ∂y u_c
-        convection_cell = (gx_cell[..., 3:5] * uv_cell_hat[..., 0:1]
-                           + gy_cell[..., 3:5] * uv_cell_hat[..., 1:2]) \
+        convection_cell = (gx_cell[:, 3:5] * uv_cell_hat[:, 0:1]
+                           + gy_cell[:, 3:5] * uv_cell_hat[:, 1:2]) \
             * cells_area
-        grad_p_cell = jnp.concatenate([gx_cell[..., 2:3], gy_cell[..., 2:3]],
+        grad_p_cell = jnp.concatenate([gx_cell[:, 2:3], gy_cell[:, 2:3]],
                                       axis=-1) * cells_area
         visc_cell = apply_linop(ops.flux_x, gx_uv_hat) + \
-            apply_linop(ops.flux_y, gy_uv_hat)                     # [Nc,B,2]
+            apply_linop(ops.flux_y, gy_uv_hat)                        # [Nc,2]
         loss_mom_cell = (unsteady_c * unsteady_cell
                          + conv_c * convection_cell
                          + gradp_c * grad_p_cell
                          - diff_c * visc_cell
                          - source_c * cells_area)
-        loss_mom = pool(loss_mom_cell) * dyn.sigma[:, 0:2]
+        loss_mom = pool(loss_mom_cell) * dyn.sigma[0:2]
 
     if ncn_smooth:
         rt_uvp_new = apply_linop(ops.c2n, uvp_cell_new)
     else:
         rt_uvp_new = uvp_new
 
-    losses = FVLosses(cont=loss_cont[:, 0], mom_x=loss_mom[:, 0],
-                      mom_y=loss_mom[:, 1], press=loss_press)
+    losses = FVLosses(cont=loss_cont[0:1], mom_x=loss_mom[0:1],
+                      mom_y=loss_mom[1:2], press=loss_press)
     return losses, rt_uvp_new, uvp_cell_new

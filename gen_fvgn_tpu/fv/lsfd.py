@@ -69,8 +69,8 @@ def lsfd_residual(
 
 
 def lsfd_residual_block(
-    uvp_new: jnp.ndarray,    # [Np, B, 3] folded (or [Np, 3] per-sample)
-    uv_hat: jnp.ndarray,     # [Np, B, 2]
+    uvp_new: jnp.ndarray,    # [B, Np, 3] batched (or [Np, 3] per-sample)
+    uv_hat: jnp.ndarray,     # [B, Np, 2]
     dyn,                     # DynamicPack (stacked [B, ...] or per-sample)
     static,                  # StaticPack built with wlsq_rows="full"
     order: str = "2nd",
@@ -94,35 +94,35 @@ def lsfd_residual_block(
 
     if uvp_new.ndim == 2:
         norm_r, raw = lsfd_residual_block(
-            uvp_new[:, None], uv_hat[:, None],
+            uvp_new[None], uv_hat[None],
             dyn.replace(theta=dyn.theta[None]), static, order=order,
             init_residual=init_residual)
         return norm_r[0], raw[0]
 
-    n_pad, b, _ = uvp_new.shape
+    b, n_pad, _ = uvp_new.shape
     fields = jnp.concatenate([uvp_new[..., 2:3], uv_hat], axis=-1)  # p,u,v
-    nab = apply_linop(static.ops.wlsq, fields).reshape(n_pad, n_q, b, 3)
-    dq = lambda q, c: nab[:, q, :, c:c + 1]            # [Np, B, 1]
+    nab = apply_linop(static.ops.wlsq, fields).reshape(b, n_pad, n_q, 3)
+    dq = lambda q, c: nab[:, :, q, c:c + 1]            # [B, Np, 1]
 
     p_x, p_y = dq(0, 0), dq(1, 0)
     u_x, u_y, u_xx, u_yy = dq(0, 1), dq(1, 1), dq(2, 1), dq(3, 1)
     v_x, v_y, v_xx, v_yy = dq(0, 2), dq(1, 2), dq(2, 2), dq(3, 2)
 
     u, v = uv_hat[..., 0:1], uv_hat[..., 1:2]
-    nu = dyn.theta[:, 4][None, :, None]                # [1, B, 1]
+    nu = dyn.theta[:, 4][:, None, None]                # [B, 1, 1]
 
     node_type = static.node_type
     interior = (~((node_type == NodeType.WALL_BOUNDARY) |
                   (node_type == NodeType.INFLOW) |
                   (node_type == NodeType.PRESS_POINT) |
                   (node_type == NodeType.IN_WALL))
-                & static.node_mask)[:, None, None].astype(uvp_new.dtype)
+                & static.node_mask)[None, :, None].astype(uvp_new.dtype)
 
     r_u = ((u * u_x + v * u_y) + p_x - nu * (u_xx + u_yy)) * interior
     r_v = ((u * v_x + v * v_y) + p_y - nu * (v_xx + v_yy)) * interior
     r_c = (u_x + v_y) * interior
 
-    norm_b = lambda r: jnp.sqrt(jnp.sum(r ** 2, axis=(0, 2)))       # [B]
+    norm_b = lambda r: jnp.sqrt(jnp.sum(r ** 2, axis=(1, 2)))       # [B]
     raw = norm_b(r_u) + norm_b(r_v) + 10.0 * norm_b(r_c)
     denom = raw if init_residual is None else init_residual
     return raw / jnp.maximum(denom, 1e-30), raw

@@ -53,11 +53,9 @@ class NodeBlockB(nn.Module):
             apply_linop(ops.scat_s, half_b)              # [N, h/2]
         nbr_sum = apply_linop(ops.adj, agg)
         # keep the bf16 stream bf16: an f32 promotion here doubles the
-        # bytes of a bandwidth-bound tensor. deg [N,1] reshapes to
-        # broadcast over any trailing (batch-lane) dims of the stream.
+        # bytes of a bandwidth-bound tensor. deg [N,1] broadcasts against
+        # both [N, h] and batch-major [B, N, h] streams.
         inv_deg = (1.0 / jnp.maximum(ops.deg, 1.0)).astype(nbr_sum.dtype)
-        inv_deg = inv_deg.reshape(
-            inv_deg.shape[:1] + (1,) * (nbr_sum.ndim - 1))
         nbr_avg = nbr_sum * inv_deg
         # residual folded into the MLP epilogue (node_x is already a part)
         return Mlp(self.hidden_size, self.hidden_size, dtype=self.dtype,

@@ -122,11 +122,15 @@ class Mlp(nn.Module):
                 w1cat = jnp.concatenate(
                     [w1[offs[i]:offs[i + 1]] for i, _ in items],
                     axis=-1).astype(dt)
-                # f32 accumulation: the projection joins the kernel's f32
-                # h1pre sum, so rounding it to bf16 here would be a precision
-                # asymmetry vs the plain-parts path and the segment engine
+                # f32 ACCUMULATION, one bf16 rounding: the projection
+                # matmul accumulates in f32 and rounds once on output —
+                # carrying it f32 through the gather and kernel (measured)
+                # costs ~5 ms/step of extra HBM traffic on the bench
+                # workload for one fewer rounding vs the kernel's in-kernel
+                # f32 h1pre sum. The remaining asymmetry vs plain parts is
+                # that single rounding of the projected contribution.
                 y = jnp.dot(src, w1cat,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32).astype(dt)
                 h = self.hidden_size
                 for j, (i, p) in enumerate(items):
                     contrib = apply_linop(p.op, y[..., j * h:(j + 1) * h])

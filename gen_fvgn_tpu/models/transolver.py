@@ -28,13 +28,7 @@ class PhysicsAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, node_mask: jnp.ndarray) -> jnp.ndarray:
-        """x: [N, C] (one graph) or [N, B, C] (folded batch — every lane is
-        one graph over the shared padded mesh, so the slice pooling runs
-        per lane with the shared node mask)."""
-        squeeze = x.ndim == 2
-        if squeeze:
-            x = x[:, None, :]
-        n, b, _ = x.shape
+        n, _ = x.shape
         h, g = self.heads, self.slice_num
         dim_head = self.hidden_dim // h
         scale = dim_head ** -0.5
@@ -43,44 +37,39 @@ class PhysicsAttention(nn.Module):
             feat, use_bias=bias, kernel_init=TRUNC_INIT,
             bias_init=nn.initializers.zeros, dtype=self.dtype, name=name)
 
-        fx_mid = dense(h * dim_head, "in_project_fx")(x) \
-            .reshape(n, b, h, dim_head)
-        x_mid = dense(h * dim_head, "in_project_x")(x) \
-            .reshape(n, b, h, dim_head)
+        fx_mid = dense(h * dim_head, "in_project_fx")(x).reshape(n, h, dim_head)
+        x_mid = dense(h * dim_head, "in_project_x")(x).reshape(n, h, dim_head)
 
         graph_temperature = self.param(
             "graph_temperature", nn.initializers.constant(0.5), (1, h, 1))
         slice_logits = nn.Dense(
             g, kernel_init=nn.initializers.orthogonal(),
             bias_init=nn.initializers.zeros, dtype=self.dtype,
-            name="in_project_slice")(x_mid)                      # [N,B,H,G]
+            name="in_project_slice")(x_mid)                      # [N, H, G]
         slice_w = nn.softmax(
-            slice_logits.astype(jnp.float32) / graph_temperature[None],
-            axis=-1)
+            slice_logits.astype(jnp.float32) / graph_temperature, axis=-1)
 
-        m = node_mask.astype(slice_w.dtype)[:, None, None, None] # [N,1,1,1]
+        m = node_mask.astype(slice_w.dtype)[:, None, None]       # [N,1,1]
         slice_w_masked = slice_w * m
-        slice_norm = jnp.sum(slice_w_masked, axis=0)             # [B, H, G]
-        # pool node features into G slice tokens per head/lane (dense MXU
-        # contraction)
-        token = jnp.einsum("nbhg,nbhd->bhgd", slice_w_masked,
-                           fx_mid.astype(jnp.float32))           # [B,H,G,D]
+        slice_norm = jnp.sum(slice_w_masked, axis=0)             # [H, G]
+        # pool node features into G slice tokens per head (dense MXU contraction)
+        token = jnp.einsum("nhg,nhd->hgd", slice_w_masked,
+                           fx_mid.astype(jnp.float32))           # [H, G, D]
         token = token / (slice_norm[..., None] + 1e-5)
 
         q = dense(dim_head, "to_q", bias=False)(token)
         k = dense(dim_head, "to_k", bias=False)(token)
         v = dense(dim_head, "to_v", bias=False)(token)
-        dots = jnp.einsum("bhgd,bhkd->bhgk", q.astype(jnp.float32),
+        dots = jnp.einsum("hgd,hkd->hgk", q.astype(jnp.float32),
                           k.astype(jnp.float32)) * scale
         attn = nn.softmax(dots, axis=-1)
-        out_token = jnp.einsum("bhgk,bhkd->bhgd", attn,
-                               v.astype(jnp.float32))            # [B,H,G,D]
+        out_token = jnp.einsum("hgk,hkd->hgd", attn,
+                               v.astype(jnp.float32))            # [H, G, D]
 
         # de-slice back to nodes
-        out_x = jnp.einsum("nbhg,bhgd->nbhd", slice_w, out_token)
-        out_x = out_x.reshape(n, b, h * dim_head)
-        out = dense(self.hidden_dim, "to_out")(out_x)
-        return out[:, 0, :] if squeeze else out
+        out_x = jnp.einsum("nhg,hgd->nhd", slice_w, out_token)   # [N, H, D]
+        out_x = out_x.reshape(n, h * dim_head)
+        return dense(self.hidden_dim, "to_out")(out_x)
 
 
 class TransolverBlock(nn.Module):
@@ -99,17 +88,15 @@ class TransolverBlock(nn.Module):
                              self.dtype, name="attn")(x, node_mask) + x
         c, hd = self.hidden_dim, self.hidden_dim * self.mlp_ratio
         if (self.dtype == jnp.bfloat16 and mlp_mod._FUSED_ENABLED
-                and x.ndim in (2, 3) and c % 128 == 0 and hd % 128 == 0):
+                and x.ndim == 2 and c % 128 == 0 and hd % 128 == 0):
             # pre-LN MLP branch + residual as ONE Pallas kernel (same param
-            # tree as the nn.LayerNorm/nn.Dense stack below). Folded batches
-            # [N, B, C] ride the kernel's row axis via a free reshape.
+            # tree as the nn.LayerNorm/nn.Dense stack below)
             from gen_fvgn_tpu.ops.fused_mlp import fused_premlp_res_parts
             ln_s, ln_b = mlp_mod._LnParams(c, name="ln_2")()
             w1, b1 = mlp_mod._DenseParams(c, hd, name="mlp_pre")()
             w2, b2 = mlp_mod._DenseParams(hd, c, name="mlp_post")()
-            out = fused_premlp_res_parts(x.reshape(-1, c), ln_s, ln_b,
-                                         w1, b1, w2, b2, dtype=self.dtype)
-            return out.reshape(x.shape)
+            return fused_premlp_res_parts(x, ln_s, ln_b, w1, b1, w2, b2,
+                                          dtype=self.dtype)
         if self.dtype == jnp.bfloat16:
             h = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
         else:

@@ -140,56 +140,72 @@ def use_pallas_spmm(enabled: bool = True) -> None:
     _USE_PALLAS = enabled
 
 
+def _out_dtype(op: BlockOp, x: jnp.ndarray):
+    """bf16 operand AND bf16 operator (the model message-passing path):
+    emit bf16 — the step is HBM-bound and the f32 output doubles the bytes
+    of every transfer. FV/WLSQ ops keep f32 blocks, so numerical paths
+    still accumulate and emit f32."""
+    return (jnp.bfloat16 if (x.dtype == jnp.bfloat16
+                             and op.blocks.dtype == jnp.bfloat16)
+            else jnp.float32)
+
+
 def _apply_block_op(op: BlockOp, x: jnp.ndarray) -> jnp.ndarray:
-    """x [n_in, ...trailing] -> [n_out, ...trailing]; trailing dims are
-    flattened into one lane axis F. This is what makes the engine
-    batch-scalable: a batched operand [n_in, B, C] rides the LANE dimension
-    of one unbatched gather+matmul (F = B·C) instead of a vmapped leading
-    axis, which XLA lowers to serialized while-loops above ~batch 8 (the
-    round-2 batch-scaling cliff).
+    """x [n_in, F] or BATCH-MAJOR [B, n_in, F] -> [(B,) n_out, F].
+
+    The batched form is what makes the engine batch-scalable: the batch
+    axis stays leading (the layout XLA itself produces when folding a
+    per-sample vmap — minor dims and physical tiling are identical to the
+    b=8 fast path), but the gathers run on the COLLAPSED leading axes
+    ([B·n_in, F] with flat indices b·n_in + idx) — leading-axis collapses
+    are always free reshapes, and flat-index gathers never hit the
+    serialized while-loop lowering that vmapped gathers do above ~batch 8
+    (the round-2 batch-scaling cliff).
 
     bf16 blocks cast the operand to bf16 for the MXU (f32 accumulation)."""
-    trailing = x.shape[1:]
-    if x.ndim > 2:
-        x = x.reshape(x.shape[0], -1)
-    width = x.shape[1]
-    if op.take_idx is not None and width * x.dtype.itemsize >= 256:
+    if x.ndim == 3:
+        b, n_in, f = x.shape
+        if op.take_idx is not None and f * x.dtype.itemsize >= 256:
+            xf = x.reshape(b * n_in, f)
+            idx = (jnp.arange(b, dtype=jnp.int32)[:, None] * n_in
+                   + op.take_idx[None, :]).reshape(-1)
+            return jnp.take(xf, idx, axis=0).reshape(b, op.n_out, f)
+        n_ti = n_in // op.tile_in
+        xt = x.reshape(b * n_ti, op.tile_in, f)
+        if op.blocks.dtype == jnp.bfloat16:
+            xt = xt.astype(jnp.bfloat16)
+        tidx = (jnp.arange(b, dtype=jnp.int32)[:, None, None] * n_ti
+                + op.in_tile[None])                      # [B, nTo, K]
+        gathered = jnp.take(xt, tidx, axis=0)            # [B, nTo, K, Ti, F]
+        out = jnp.einsum("nkab,Bnkbf->Bnaf", op.blocks, gathered,
+                         preferred_element_type=_out_dtype(op, x))
+        return out.reshape(b, op.n_out, f)
+
+    if op.take_idx is not None and x.shape[-1] * x.dtype.itemsize >= 256:
         # a row gather is exact in the operand dtype — no bf16 roundtrip
         # even when the (structural) blocks are stored bf16, so f32 streams
         # (e.g. the Gathered-part projections accumulated in f32) keep
         # full precision through the gather
-        out = jnp.take(x, op.take_idx, axis=0)
-        return out.reshape((op.n_out,) + trailing)
-    if _USE_PALLAS and width % 128 == 0:
+        return jnp.take(x, op.take_idx, axis=0)
+    if _USE_PALLAS and x.ndim == 2 and x.shape[1] % 128 == 0:
         from gen_fvgn_tpu.ops.pallas_spmm import pallas_block_spmm
-        pet = (jnp.bfloat16 if (x.dtype == jnp.bfloat16
-                                and op.blocks.dtype == jnp.bfloat16)
-               else jnp.float32)
         xin = x.astype(jnp.bfloat16) if op.blocks.dtype == jnp.bfloat16 else x
-        out = pallas_block_spmm(op.blocks, op.in_tile, xin, out_dtype=pet)
-        return out.reshape((op.n_out,) + trailing)
+        return pallas_block_spmm(op.blocks, op.in_tile, xin,
+                                 out_dtype=_out_dtype(op, x))
     n_ti = x.shape[0] // op.tile_in
     xt = x.reshape(n_ti, op.tile_in, -1)
     if op.blocks.dtype == jnp.bfloat16:
         xt = xt.astype(jnp.bfloat16)
     gathered = jnp.take(xt, op.in_tile, axis=0)          # [nTo, K, Ti, F]
-    # bf16 operand AND bf16 operator (the model message-passing path):
-    # emit bf16 — the step is HBM-bound and the f32 output doubles the
-    # bytes of every transfer. FV/WLSQ ops keep f32 blocks, so numerical
-    # paths still accumulate and emit f32.
-    pet = (jnp.bfloat16 if (x.dtype == jnp.bfloat16
-                            and op.blocks.dtype == jnp.bfloat16)
-           else jnp.float32)
     out = jnp.einsum("nkab,nkbf->naf", op.blocks, gathered,
-                     preferred_element_type=pet)
-    return out.reshape((op.n_out,) + trailing)
+                     preferred_element_type=_out_dtype(op, x))
+    return out.reshape(op.n_out, x.shape[1])
 
 
 @jax.custom_vjp
 def apply_linop(op: LinOp, x: jnp.ndarray) -> jnp.ndarray:
-    """out = A @ x with matmul-only forward AND backward. x may carry any
-    trailing dims ([n_in, F] or [n_in, B, C] — flattened into the lane
-    axis)."""
+    """out = A @ x with matmul-only forward AND backward. x is [n_in, F]
+    or batch-major [B, n_in, F]."""
     return _apply_block_op(op.fwd, x)
 
 
@@ -205,9 +221,12 @@ apply_linop.defvjp(_apply_fwd, _apply_bwd)
 
 
 def apply_linop_multi(op: LinOp, x: jnp.ndarray) -> jnp.ndarray:
-    """Alias kept for callers that predate trailing-dim support in
-    apply_linop itself."""
-    return apply_linop(op, x)
+    """Apply to [n_in, ...trailing] by flattening trailing dims into one
+    lane axis (NOT the batch-major [B, n_in, F] form — use apply_linop
+    directly for that)."""
+    trailing = x.shape[1:]
+    out = apply_linop(op, x.reshape(x.shape[0], -1))
+    return out.reshape((op.fwd.n_out,) + trailing)
 
 
 # ---------- host-side COO builders for the standard mesh operators ----------

@@ -383,9 +383,10 @@ def fused_mlp_ln_parts(parts: Sequence[jnp.ndarray], w1, b1, w2, b2, w3, b3,
             p = jnp.pad(p, ((0, m_pad - m), (0, 0)))
         parts16.append(p)
         w1s.append(w1p)
-    # pres keep their incoming dtype (f32 for the Gathered-part projections:
-    # they join the kernel's f32 h1pre accumulation, so rounding them to bf16
-    # here would be a precision asymmetry vs the plain parts)
+    # pres keep their incoming dtype (the Gathered-part projections arrive
+    # bf16 after an f32-accumulated matmul — carrying them f32 through the
+    # kernel measured ~5 ms/step of extra HBM traffic; an f32 caller can
+    # still pass f32 pres and pay that cost knowingly)
     pres16 = []
     for p in pres:
         if m_pad != m:

@@ -90,10 +90,9 @@ def test_lsfd_block_matches_segment(block_setup):
                                order=cfg.order)
         raw_ref.append(float(raw))
 
-    # block engine, folded batch
+    # block engine, batch-major
     norm_b, raw_b = lsfd_residual_block(
-        jnp.swapaxes(jnp.asarray(uvp), 0, 1),
-        jnp.swapaxes(jnp.asarray(uv_hat), 0, 1), dyn, static,
+        jnp.asarray(uvp), jnp.asarray(uv_hat), dyn, static,
         order=cfg.order)
     np.testing.assert_allclose(np.asarray(raw_b), np.asarray(raw_ref),
                                rtol=5e-3)
@@ -121,7 +120,7 @@ def test_lsfd_block_needs_full_rows(block_setup):
                                     wlsq_rows="grad")
     dyn = pool.gather_block(np.asarray([0, 1]))
     n_pad = grad_static.pos.shape[0]
-    z3 = jnp.zeros((n_pad, 2, 3))
+    z3 = jnp.zeros((2, n_pad, 3))
     with pytest.raises(ValueError, match="full"):
         lsfd_residual_block(z3, z3[..., 0:2], dyn, grad_static,
                             order=cfg.order)
