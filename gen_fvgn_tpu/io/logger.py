@@ -35,13 +35,13 @@ class RunLogger:
         os.makedirs(self.states_dir, exist_ok=True)
         os.makedirs(self.results_dir, exist_ok=True)
 
+        # TensorBoard via the in-repo dependency-free event writer
+        # (io/tb_events.py) — no torch/tensorboard import needed, so the
+        # flag can never silently disable (round-2 verdict #9)
         self._tb = None
         if use_tensorboard:
-            try:
-                from torch.utils.tensorboard import SummaryWriter
-                self._tb = SummaryWriter(os.path.join(self.run_dir, "tb"))
-            except Exception:
-                self._tb = None
+            from gen_fvgn_tpu.io.tb_events import EventWriter
+            self._tb = EventWriter(os.path.join(self.run_dir, "tb"))
 
         with open(os.path.join(self.run_dir, "config.json"), "wt") as f:
             f.write(cfg.to_json())
@@ -79,6 +79,32 @@ class RunLogger:
         if self._tb is not None:
             for key, value in scalars.items():
                 self._tb.add_scalar(key, float(value), step)
+
+    def log_histogram(self, tag: str, values, step: int) -> None:
+        """Value histogram to TensorBoard (parity: Logger.py:152-160);
+        no-op without use_tensorboard."""
+        if self._tb is not None:
+            self._tb.add_histogram(tag, values, step)
+
+    def log_model_gradients(self, item: str, grads, step: int) -> None:
+        """Flattened-gradient histogram + 2-norm scalar for a pytree of
+        gradients (parity: Logger.py:162-176 `log_model_gradients`, which
+        concatenates p.grad views); no-op without use_tensorboard."""
+        if self._tb is None:
+            return
+        import numpy as np
+        try:
+            import jax
+            leaves = jax.tree_util.tree_leaves(grads)
+        except Exception:
+            leaves = [grads]
+        if not leaves:
+            return
+        flat = np.concatenate(
+            [np.asarray(g, np.float32).reshape(-1) for g in leaves])
+        self._tb.add_histogram(f"{item}_grad_histogram", flat, step)
+        self._tb.add_scalar(f"{item}_grad_norm2",
+                            float(np.linalg.norm(flat)), step)
 
     # ---- checkpoint pathing / discovery ----
 
