@@ -493,17 +493,25 @@ class EnvPool:
         to its pooled p channel for the CURRENT time step (parity:
         Graph_loader.py:323-363 `update_env` — `wave_uvp_on_node[:, 2:3] +=
         source_pressure_node` every outer step). Called once per epoch by
-        the train loops; no-op for NS/Poisson environments."""
+        the train loops; no-op for NS/Poisson environments.
+
+        Signals are BATCHED per device pool (one jitted `.at[idxs].add`
+        per block-engine case / device tier), so the dispatch count is
+        independent of pool size — one injection per env was O(pool)
+        round-trips through the ~1 ms-floor remote-dispatch relay
+        (round-2 verdict #7)."""
         import jax.numpy as jnp
         from gen_fvgn_tpu.graph.physics import pressure_point_source
 
         if not hasattr(self, "_jit_wave_add"):
-            def _add(data, idx, signal):
+            def _add(data, idxs, signals):
                 return data.replace(
-                    uvp=data.uvp.at[idx, :, 2].add(signal))
+                    uvp=data.uvp.at[idxs, :, 2].add(signals))
             import jax
             self._jit_wave_add = jax.jit(_add, donate_argnums=(0,))
 
+        # group (pool key, local slot, host-computed signal) per wave env
+        groups: Dict[tuple, list] = {}
         for i, env in enumerate(self.envs):
             ts = env.theta_sample
             if ts.source_frequency == 0:
@@ -515,25 +523,32 @@ class EnvPool:
                 pos, center, ts.source_frequency, ts.source_strength,
                 ts.dt, time_index).reshape(-1).astype(np.float32)
             if self.engine == "block":
-                ci = env.case_idx
-                n_pad = self._dyn_pools[ci].uvp.shape[1]
-                sig = np.zeros(n_pad, np.float32)
-                sig[: signal.shape[0]] = signal
-                self._dyn_pools[ci] = self._jit_wave_add(
-                    self._dyn_pools[ci], np.int32(self._env_local[i]),
-                    jnp.asarray(sig))
+                key = ("case", env.case_idx)
+                local = self._env_local[i]
             elif self._device_data is not None:
-                t = self._env_tier[i]
-                n_pad = self._device_data[t].uvp.shape[1]
-                sig = np.zeros(n_pad, np.float32)
-                sig[: signal.shape[0]] = signal
-                self._device_data[t] = self._jit_wave_add(
-                    self._device_data[t], np.int32(self._env_tlocal[i]),
-                    jnp.asarray(sig))
+                key = ("tier", self._env_tier[i])
+                local = self._env_tlocal[i]
             else:
                 uvp = np.asarray(env.sample.uvp).copy()
                 uvp[: signal.shape[0], 2] += signal
                 env.sample = env.sample.replace(uvp=uvp)
+                continue
+            groups.setdefault(key, []).append((local, signal))
+
+        for (kind, kid), items in groups.items():
+            pool = (self._dyn_pools[kid] if kind == "case"
+                    else self._device_data[kid])
+            n_pad = pool.uvp.shape[1]
+            idxs = np.asarray([loc for loc, _ in items], np.int32)
+            sigs = np.zeros((len(items), n_pad), np.float32)
+            for row, (_, signal) in enumerate(items):
+                sigs[row, : signal.shape[0]] = signal
+            updated = self._jit_wave_add(pool, jnp.asarray(idxs),
+                                         jnp.asarray(sigs))
+            if kind == "case":
+                self._dyn_pools[kid] = updated
+            else:
+                self._device_data[kid] = updated
 
     def host_uvp(self, idx: int) -> np.ndarray:
         """Fetch one environment's current state back to host (for export)."""

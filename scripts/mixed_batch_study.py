@@ -9,77 +9,130 @@ produces the data: the SEGMENT engine supports both, so train the same
 two-case pool (Poisson + NS cavity) twice from the same init — once with
 mixed batches, once stratified — and compare the loss trajectories.
 
-Usage: python scripts/mixed_batch_study.py [--steps 600]
-Writes docs_assets_mixed_vs_stratified.json.
+Usage:
+    python scripts/mixed_batch_study.py [--steps 600]       # synthetic, CPU
+    python scripts/mixed_batch_study.py --real --steps 5000 # two real COMSOL
+        cases (cavity 101x101 + cylinder_tri_quad) at training scale, on
+        the default backend (TPU when available; device-resident pool)
+
+Writes docs_assets_mixed_vs_stratified[_real].json (the --real run
+checkpoints partial curves every 200 steps, so a remote-runtime stall
+loses at most that much).
 """
 
 import argparse
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+REAL_CASES = [
+    "/root/reference/mesh_example/lid_driven_cavity/"
+    "lid_driven_cavity_101x101-Re=100",
+    "/root/reference/mesh_example/cylinder_flow_tri_quad",
+]
+
 
 def main(argv=None):
-    import jax
-    jax.config.update("jax_platforms", "cpu")  # segment engine study
-
-    from gen_fvgn_tpu.config import Config
-    from gen_fvgn_tpu.meshes.synthetic import cavity_quad_mesh, synthetic_case
-    from gen_fvgn_tpu.training.pool import EnvPool
-    from gen_fvgn_tpu.training.train import init_train_state, make_train_step
-
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--mesh-n", type=int, default=12)
-    ap.add_argument("--out", default="docs_assets_mixed_vs_stratified.json")
+    ap.add_argument("--real", action="store_true",
+                    help="two real COMSOL cases at training scale")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
+    out = args.out or ("docs_assets_mixed_vs_stratified_real.json"
+                       if args.real else
+                       "docs_assets_mixed_vs_stratified.json")
 
-    cfg = Config(batch_size=2, dataset_size=4, hidden_size=64,
-                 message_passing_num=2, slice_num=16, attn_heads=4,
-                 mxu_dtype="float32", lr=1e-3)
-    poisson = synthetic_case(cavity_quad_mesh(args.mesh_n), continuity=0,
-                             convection=0, grad_p=0, mu=0.1, source=1.0,
-                             sigma=(1, 0, 0), name="poisson")
-    ns = synthetic_case(cavity_quad_mesh(args.mesh_n), continuity=1,
-                        convection=1, grad_p=1, mu=0.05, source=0.0,
-                        sigma=(1, 1, 1), name="ns_cavity")
+    import jax
+    if args.real:
+        from gen_fvgn_tpu.utils.jax_setup import setup_cache
+        setup_cache()
+    else:
+        jax.config.update("jax_platforms", "cpu")
+
+    from gen_fvgn_tpu.config import Config
+    from gen_fvgn_tpu.meshes.synthetic import cavity_quad_mesh, synthetic_case
+    from gen_fvgn_tpu.training.pool import EnvPool, load_case
+    from gen_fvgn_tpu.training.train import init_train_state, make_train_step
+
+    if args.real:
+        # real model scale (hidden 128, full TransFVGN_v2); bf16 stream as
+        # in real training; batch 4 = two envs of each case when mixed
+        cfg = Config(batch_size=4, dataset_size=8, mxu_dtype="bfloat16",
+                     lr=1e-4)
+        cases = [load_case(d, cfg.order) for d in REAL_CASES]
+        pad_multiple, device_resident = 256, True
+    else:
+        cfg = Config(batch_size=2, dataset_size=4, hidden_size=64,
+                     message_passing_num=2, slice_num=16, attn_heads=4,
+                     mxu_dtype="float32", lr=1e-3)
+        cases = [
+            synthetic_case(cavity_quad_mesh(args.mesh_n), continuity=0,
+                           convection=0, grad_p=0, mu=0.1, source=1.0,
+                           sigma=(1, 0, 0), name="poisson"),
+            synthetic_case(cavity_quad_mesh(args.mesh_n), continuity=1,
+                           convection=1, grad_p=1, mu=0.05, source=0.0,
+                           sigma=(1, 1, 1), name="ns_cavity")]
+        pad_multiple, device_resident = 16, False
 
     def run(mode: str):
-        pool = EnvPool([], cfg, seed=0, pad_multiple=16,
-                       cases=[poisson, ns], dataset_size=4)
-        # env layout: [poisson, ns, poisson, ns]
+        pool = EnvPool([], cfg, seed=0, pad_multiple=pad_multiple,
+                       cases=cases, dataset_size=cfg.dataset_size,
+                       device_resident=device_resident)
+        # env layout alternates cases: [c0, c1, c0, c1, ...]
         batch0 = pool.gather_batch(np.arange(cfg.batch_size))
         state, apply_fn = init_train_state(cfg, batch0, seed=0)
         step = make_train_step(cfg, apply_fn, donate=False)
         rng = np.random.default_rng(1)
+        half = cfg.batch_size // 2
+        evens = np.arange(0, cfg.dataset_size, 2)   # case 0 envs
+        odds = np.arange(1, cfg.dataset_size, 2)    # case 1 envs
         curve = []
+        t0 = time.time()
         for it in range(args.steps):
             if mode == "mixed":
-                # one env of each case per batch (reference-style mixing)
-                idxs = np.asarray([rng.choice([0, 2]), rng.choice([1, 3])])
+                # half the batch from each case (reference-style mixing)
+                idxs = np.concatenate([
+                    rng.choice(evens, half, replace=False),
+                    rng.choice(odds, half, replace=False)])
             else:
                 # whole batch from one case, alternating (block-engine style)
-                ci = it % 2
-                idxs = np.asarray([ci, ci + 2])
+                src = evens if it % 2 == 0 else odds
+                idxs = rng.choice(src, cfg.batch_size,
+                                  replace=cfg.batch_size > len(src))
             state, m, uvp = step(state, pool.gather_batch(idxs))
             if it % 2 == 1:
                 pool.payback(idxs, uvp)
             curve.append({"step": it, "loss": float(m.loss),
                           "cont": float(m.loss_cont),
                           "mom": float(m.loss_mom)})
+            if args.real and (it + 1) % 200 == 0:
+                rate = (it + 1) / (time.time() - t0)
+                print(f"[{mode}] step {it + 1}/{args.steps} "
+                      f"loss={curve[-1]['loss']:.4f} ({rate:.2f} it/s)",
+                      flush=True)
+                with open(out + f".partial_{mode}", "wt") as f:
+                    json.dump(curve, f)
         return curve
 
     mixed = run("mixed")
     strat = run("stratified")
 
-    def tail_mean(c, key, k=50):
+    def tail_mean(c, key, k=None):
+        k = k or max(50, len(c) // 20)
         return float(np.mean([e[key] for e in c[-k:]]))
 
     summary = {
+        "mode": "real" if args.real else "synthetic",
+        "cases": ([os.path.basename(d) for d in REAL_CASES]
+                  if args.real else ["poisson", "ns_cavity"]),
+        "steps": args.steps,
         "mixed_final_loss": tail_mean(mixed, "loss"),
         "stratified_final_loss": tail_mean(strat, "loss"),
         "mixed_final_cont": tail_mean(mixed, "cont"),

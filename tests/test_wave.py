@@ -58,6 +58,36 @@ def test_wave_source_injection_changes_pool_pressure(engine):
     assert np.abs(p_after - p_before).max() > 1e-4
 
 
+@pytest.mark.parametrize("engine", ["segment", "block"])
+def test_wave_injection_dispatch_independent_of_pool_size(engine):
+    """Injection must issue ONE jitted update per device pool (case/tier),
+    not one per environment — per-env dispatch is O(pool) round trips
+    through a ~1 ms-floor remote-dispatch relay (round-2 verdict #7)."""
+    cfg = Config(batch_size=2, dataset_size=6, hidden_size=16,
+                 message_passing_num=1, slice_num=4, attn_heads=2,
+                 mxu_dtype="float32", engine=engine)
+    case = wave_case(cavity_quad_mesh(5), source_strength=(0.02, 0.02, 0.02))
+    pool = EnvPool([], cfg, seed=0, cases=[case], dataset_size=6,
+                   pad_multiple=8, engine=engine,
+                   device_resident=(engine == "segment"))
+    for env in pool.envs:
+        env.age = 1
+
+    calls = []
+
+    def counting_add(data, idxs, signals):
+        calls.append(int(np.asarray(idxs).shape[0]))
+        return data.replace(uvp=data.uvp.at[np.asarray(idxs), :, 2].add(
+            np.asarray(signals)))
+
+    pool._jit_wave_add = counting_add      # pre-seed the lazy jit slot
+    p_before = pool.host_uvp(5)[:, 2].copy()
+    pool.inject_wave_sources()
+    assert len(calls) == 1                 # one case/tier -> ONE dispatch
+    assert calls[0] == 6                   # carrying all 6 envs
+    assert np.abs(pool.host_uvp(5)[:, 2] - p_before).max() > 1e-4
+
+
 def test_wave_rollout_with_source_injection():
     """Solve-time wave rollout: the point source drives the p channel each
     step (reference update_env semantics at inference, Graph_loader.py:
