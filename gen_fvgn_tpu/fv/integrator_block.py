@@ -9,11 +9,13 @@ caller vmaps over the batch with in_axes=(0, 0, 0, 0, None).
 
 Layout note: gradients are carried as SEPARATE gx/gy channel planes
 ([Np, 7] each) rather than a [Np, 7, 2] tensor — the folded WLSQ operator
-emits [Np·2 ← Np] gradient rows only (the live path never consumes higher
-moments; the reference disables the Hessian term, FVscheme.py:668), and the
-split-plane layout removes every transpose/interleave data-formatting op
-from the residual assembly (measured ~1.4 ms/step on the bench workload for
-the [Np,5,7]→[Np,7,2] swap alone).
+emits [Np·n_q ← Np] derivative rows (n_q=2, gradients only, by default:
+the FV path never consumes higher moments and the reference disables the
+Hessian term, FVscheme.py:668; n_q=k with wlsq_block_rows="full" for the
+block LSFD path), and the split-plane layout removes every
+transpose/interleave data-formatting op from the residual assembly
+(measured ~1.4 ms/step on the bench workload for the [Np,5,7]→[Np,7,2]
+swap alone).
 """
 
 from __future__ import annotations

@@ -17,9 +17,33 @@ from gen_fvgn_tpu.training.normalizer import NormalizerState
 
 
 def make_eval_step_block(cfg: Config, simulator_apply) -> Callable:
-    def step(params, norm_state, dyn, static):
+    """Forward-only eval step. Batches above cfg.microbatch run as
+    sequential peak-rate chunks (lax.map) — same batch-scaling-cliff
+    answer as the train step (XLA serializes the vmapped gathers above
+    ~batch 8); bit-identical outputs, normalizer not accumulated."""
+    def fwd(params, norm_state, dyn, static):
         return forward_batch_block(simulator_apply, params, norm_state, dyn,
                                    static, cfg, accumulate_normalizer=False)
+
+    def step(params, norm_state, dyn, static):
+        b = jax.tree_util.tree_leaves(dyn)[0].shape[0]
+        mb = cfg.microbatch
+        if not mb or b <= mb or b % mb:
+            return fwd(params, norm_state, dyn, static)
+        n_k = b // mb
+        dyn_k = jax.tree_util.tree_map(
+            lambda x: x.reshape((n_k, mb) + x.shape[1:]), dyn)
+        outs = jax.lax.map(
+            lambda dk: fwd(params, norm_state, dk, static), dyn_k)
+        unchunk = lambda x: x.reshape((b,) + x.shape[2:])
+        return outs._replace(
+            loss_cont=unchunk(outs.loss_cont),
+            loss_mom_x=unchunk(outs.loss_mom_x),
+            loss_mom_y=unchunk(outs.loss_mom_y),
+            loss_press=unchunk(outs.loss_press),
+            uvp_node_new=unchunk(outs.uvp_node_new),
+            uvp_cell_new=unchunk(outs.uvp_cell_new),
+            norm_state=norm_state)
     return jax.jit(step)
 
 

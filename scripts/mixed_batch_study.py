@@ -43,6 +43,9 @@ def main(argv=None):
     ap.add_argument("--mesh-n", type=int, default=12)
     ap.add_argument("--real", action="store_true",
                     help="two real COMSOL cases at training scale")
+    ap.add_argument("--max-seconds", type=float, default=None,
+                    help="per-run wall-clock guard: truncate the curve "
+                    "gracefully instead of overrunning")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
     out = args.out or ("docs_assets_mixed_vs_stratified_real.json"
@@ -112,13 +115,19 @@ def main(argv=None):
             curve.append({"step": it, "loss": float(m.loss),
                           "cont": float(m.loss_cont),
                           "mom": float(m.loss_mom)})
-            if args.real and (it + 1) % 200 == 0:
-                rate = (it + 1) / (time.time() - t0)
-                print(f"[{mode}] step {it + 1}/{args.steps} "
+            it1 = it + 1
+            if args.real and (it1 in (1, 10, 50, 100) or it1 % 200 == 0):
+                rate = it1 / (time.time() - t0)
+                print(f"[{mode}] step {it1}/{args.steps} "
                       f"loss={curve[-1]['loss']:.4f} ({rate:.2f} it/s)",
                       flush=True)
-                with open(out + f".partial_{mode}", "wt") as f:
-                    json.dump(curve, f)
+                if it1 % 200 == 0:
+                    with open(out + f".partial_{mode}", "wt") as f:
+                        json.dump(curve, f)
+            if args.max_seconds and time.time() - t0 > args.max_seconds:
+                print(f"[{mode}] wall-clock guard hit at step {it1}; "
+                      f"truncating", flush=True)
+                break
         return curve
 
     mixed = run("mixed")

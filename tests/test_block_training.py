@@ -110,6 +110,33 @@ def test_microbatch_dp_chunking_is_device_balanced():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_eval_step_microbatch_matches_full():
+    """Chunked eval (lax.map over microbatches) must equal the unchunked
+    forward exactly — forward-only, no accumulation."""
+    from gen_fvgn_tpu.solve.rollout_block import make_eval_step_block
+
+    base = dict(dataset_size=4, mxu_dtype="float32", hidden_size=32,
+                message_passing_num=1, slice_num=8, attn_heads=4,
+                engine="block", norm_global=False)
+    cfg_full = Config(batch_size=4, microbatch=0, **base)
+    cfg_mb = Config(batch_size=4, microbatch=2, **base)
+    case = synthetic_case(cavity_quad_mesh(6), source=1.0, mu=0.1)
+    pool = EnvPool([], cfg_full, seed=0, cases=[case], engine="block")
+    dyn = pool.gather_block(np.arange(4))
+    static = pool.statics[0]
+    state, apply_fn = init_train_state_block(cfg_full, dyn, static, seed=0)
+
+    out_full = make_eval_step_block(cfg_full, apply_fn)(
+        state.params, state.norm_state, dyn, static)
+    out_mb = make_eval_step_block(cfg_mb, apply_fn)(
+        state.params, state.norm_state, dyn, static)
+    np.testing.assert_allclose(np.asarray(out_mb.uvp_node_new),
+                               np.asarray(out_full.uvp_node_new),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out_mb.loss_cont),
+                               np.asarray(out_full.loss_cont), rtol=1e-6)
+
+
 def test_block_bf16_stream_trains(setup):
     """mxu_dtype=bfloat16 (the bench/TPU mode, incl. the bf16 LayerNorm and
     bf16 operator outputs): finite, decreasing loss."""
