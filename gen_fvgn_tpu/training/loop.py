@@ -59,13 +59,14 @@ def train(
     pad_multiple: int = 128,
     progress_every: int = 1,
     logger: Optional[RunLogger] = None,
+    use_tensorboard: bool = False,
 ) -> TrainState:
     n_epochs = n_epochs if n_epochs is not None else cfg.n_epochs
 
     if cfg.engine == "block":
         return _train_block(cfg, case_dirs, cases, log_base_dir, seed,
                             n_epochs, resume_from, pad_multiple,
-                            progress_every, logger)
+                            progress_every, logger, use_tensorboard)
 
     pool = EnvPool(case_dirs, cfg, seed=seed, pad_multiple=pad_multiple,
                    cases=cases, device_resident=(cfg.dp_devices <= 1),
@@ -84,7 +85,8 @@ def train(
         state = shard_train_state(state, mesh)
 
     if logger is None:
-        logger = RunLogger(log_base_dir, cfg, seed=seed)
+        logger = RunLogger(log_base_dir, cfg, seed=seed,
+                           use_tensorboard=use_tensorboard)
     ckpt = RotatingCheckpointer(logger.states_dir)
 
     train_steps = 0
@@ -126,12 +128,27 @@ def train(
             _log_epoch(logger, epoch, last_metrics, t0)
         if epoch % 50 == 0 or epoch == n_epochs - 1:
             ckpt.save(state, epoch)
+            _log_param_histograms(logger, state, epoch)
 
     return state
 
 
+def _log_param_histograms(logger, state, epoch):
+    """Parameter histogram at checkpoint cadence (TensorBoard parity with
+    the reference's histogram logging, Logger.py:152-176; the grad 2-norm
+    is already a per-epoch scalar, and RunLogger.log_model_gradients
+    serves callers that hold a gradient tree). No-op when TB is off."""
+    if getattr(logger, "_tb", None) is None:
+        return
+    flat = np.concatenate([
+        np.asarray(p, np.float32).reshape(-1)
+        for p in jax.tree_util.tree_leaves(state.params)])
+    logger.log_histogram("params", flat, epoch)
+
+
 def _train_block(cfg, case_dirs, cases, log_base_dir, seed, n_epochs,
-                 resume_from, pad_multiple, progress_every, logger):
+                 resume_from, pad_multiple, progress_every, logger,
+                 use_tensorboard=False):
     """Block-engine training loop: single-case batches against shared
     per-case StaticPacks; dynamics stay in the device pool."""
     from gen_fvgn_tpu.io.checkpoint import RotatingCheckpointer, load_state
@@ -166,7 +183,8 @@ def _train_block(cfg, case_dirs, cases, log_base_dir, seed, n_epochs,
         statics = [shard_static(s, mesh) for s in pool.statics]
 
     if logger is None:
-        logger = RunLogger(log_base_dir, cfg, seed=seed)
+        logger = RunLogger(log_base_dir, cfg, seed=seed,
+                           use_tensorboard=use_tensorboard)
     ckpt = RotatingCheckpointer(logger.states_dir)
 
     train_steps = 0
@@ -206,5 +224,6 @@ def _train_block(cfg, case_dirs, cases, log_base_dir, seed, n_epochs,
             _log_epoch(logger, epoch, last_metrics, t0)
         if epoch % 50 == 0 or epoch == n_epochs - 1:
             ckpt.save(state, epoch)
+            _log_param_histograms(logger, state, epoch)
 
     return state

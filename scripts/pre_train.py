@@ -46,6 +46,13 @@ def main(argv=None):
                     help="segment engine: per-size padding tiers")
     ap.add_argument("--export-on-reset", type=int, default=0,
                     help="export retiring env solutions on BC re-roll")
+    ap.add_argument("--microbatch", type=int, default=8,
+                    help="block engine: gradient-accumulation chunk size "
+                    "for batches above the per-chip throughput peak "
+                    "(0 disables)")
+    ap.add_argument("--tensorboard", type=int, default=0,
+                    help="also log scalars to TensorBoard event files "
+                    "(dependency-free writer)")
     args = ap.parse_args(argv)
 
     from gen_fvgn_tpu.config import Config
@@ -58,7 +65,8 @@ def main(argv=None):
         max_inner_steps=args.max_inner_steps, dataset_dir=args.dataset_dir,
         dp_devices=args.dp_devices, mxu_dtype=args.mxu_dtype,
         engine=args.engine, bucket_tiers=bool(args.bucket_tiers),
-        export_on_reset=bool(args.export_on_reset))
+        export_on_reset=bool(args.export_on_reset),
+        microbatch=args.microbatch)
 
     case_dirs = sorted(
         {os.path.dirname(os.path.join(sub, f))
@@ -68,7 +76,8 @@ def main(argv=None):
         raise SystemExit(f"no case dirs with BC.json under {args.dataset_dir}")
 
     train(cfg, case_dirs=case_dirs, log_base_dir=args.log_dir,
-          seed=args.seed, resume_from=args.resume)
+          seed=args.seed, resume_from=args.resume,
+          use_tensorboard=bool(args.tensorboard))
 
 
 if __name__ == "__main__":

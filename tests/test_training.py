@@ -1,5 +1,7 @@
 """End-to-end training: loss decreases, pool streaming, normalizer state."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -85,3 +87,29 @@ def test_batch_indices_cover_pool():
     batches = pool.batch_indices(step_seed=7)
     seen = np.sort(np.concatenate(batches))
     np.testing.assert_array_equal(seen, np.arange(4))
+
+
+def test_train_loop_tensorboard_events(tmp_path):
+    """use_tensorboard=True writes TB event files (dependency-free writer)
+    with scalars every epoch and a params histogram at checkpoint cadence."""
+    import glob
+
+    from gen_fvgn_tpu.training.loop import train
+
+    cfg = Config(batch_size=2, dataset_size=2, n_epochs=1, max_inner_steps=1,
+                 hidden_size=16, message_passing_num=1, slice_num=4,
+                 attn_heads=2, mxu_dtype="float32", lr=1e-3)
+    case = synthetic_case(cavity_quad_mesh(4), source=1.0, mu=0.1)
+    train(cfg, cases=[case], log_base_dir=str(tmp_path), pad_multiple=8,
+          use_tensorboard=True)
+    events = glob.glob(str(tmp_path / "**" / "tb" / "events.out.tfevents.*"),
+                       recursive=True)
+    assert events, "no TensorBoard event file written"
+    tb = pytest.importorskip("tensorboard")
+    from tensorboard.backend.event_processing import event_accumulator
+    acc = event_accumulator.EventAccumulator(
+        os.path.dirname(events[0]),
+        size_guidance={"scalars": 0, "histograms": 0})
+    acc.Reload()
+    assert "loss" in acc.Tags()["scalars"]
+    assert "params" in acc.Tags()["histograms"]
