@@ -140,6 +140,10 @@ def main():
     tile = int(os.environ.get("BENCH_TILE", "256"))
     sweep = os.environ.get("BENCH_SWEEP", "8,16,32")
     secondary = os.environ.get("BENCH_SECONDARY", "poly")
+    if secondary and secondary not in CASES:
+        # validate BEFORE burning minutes of TPU time on the primary run
+        raise SystemExit(f"BENCH_SECONDARY={secondary!r} unknown; "
+                         f"choose from {sorted(CASES)} or ''")
 
     primary = bench_case(CASES["cavity"], batch_size, n_steps, tile, 512,
                          cost=True)

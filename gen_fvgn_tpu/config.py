@@ -65,17 +65,21 @@ class Config:
                                        # all k rows (Hessians — needed for
                                        # LSFD on the block engine; ~k/2×
                                        # the wlsq operator traffic)
-    microbatch: int = 8                # block engine: chunk batches larger
-                                       # than this into sequential
-                                       # gradient-accumulation microbatches
-                                       # inside the jitted step. 8 is the
-                                       # measured single-chip throughput
-                                       # peak; above it XLA lowers the
-                                       # vmapped gathers to serialized
-                                       # while-loops (the round-2 cliff).
-                                       # 0 disables chunking. Gradients are
-                                       # mathematically identical (mean of
-                                       # equal-size chunk grads).
+    microbatch: int = 8                # block engine: PER-DEVICE chunk
+                                       # size — batches above
+                                       # microbatch×dp_devices run as
+                                       # sequential gradient-accumulation
+                                       # chunks inside the jitted step.
+                                       # 8 is the measured single-chip
+                                       # throughput peak; above it XLA
+                                       # lowers the vmapped gathers to
+                                       # serialized while-loops (the
+                                       # round-2 cliff). 0 disables.
+                                       # Chunking is exact: mean of
+                                       # equal-size chunk grads, with the
+                                       # whole-batch normalizer
+                                       # accumulation hoisted before the
+                                       # chunk loop.
     bucket_tiers: bool = False         # segment engine: per-size padding tiers
                                        # (batches stay within a tier) instead of
                                        # one bucket padded to the largest case

@@ -86,6 +86,19 @@ class RunLogger:
         if self._tb is not None:
             self._tb.add_histogram(tag, values, step)
 
+    def log_param_histogram(self, params, step: int,
+                            tag: str = "params") -> None:
+        """Histogram of every leaf of a parameter pytree, flattened;
+        no-op without use_tensorboard."""
+        if self._tb is None:
+            return
+        import numpy as np
+        import jax
+        flat = np.concatenate(
+            [np.asarray(p, np.float32).reshape(-1)
+             for p in jax.tree_util.tree_leaves(params)])
+        self._tb.add_histogram(tag, flat, step)
+
     def log_model_gradients(self, item: str, grads, step: int) -> None:
         """Flattened-gradient histogram + 2-norm scalar for a pytree of
         gradients (parity: Logger.py:162-176 `log_model_gradients`, which

@@ -95,12 +95,15 @@ def _packed_f64(field: int, values: Sequence[float]) -> bytes:
     return _bytes(field, data)
 
 
-def _histogram_proto(values: np.ndarray, bins: int = 30) -> bytes:
-    """HistogramProto: min/max/num/sum/sum_squares + explicit buckets."""
+def _histogram_proto(values: np.ndarray, bins: int = 30):
+    """HistogramProto: min/max/num/sum/sum_squares + explicit buckets.
+    Returns None when no finite values exist — the caller warns instead of
+    logging a fake healthy-looking histogram (an all-NaN gradient tree is
+    exactly the divergence signal histograms exist to surface)."""
     v = np.asarray(values, np.float64).reshape(-1)
     v = v[np.isfinite(v)]
     if v.size == 0:
-        v = np.zeros(1)
+        return None
     lo, hi = float(v.min()), float(v.max())
     if lo == hi:
         hi = lo + 1e-12
@@ -141,8 +144,13 @@ class EventWriter:
 
     def add_histogram(self, tag: str, values, step: int,
                       bins: int = 30) -> None:
-        value_msg = _string(1, tag) + _bytes(5, _histogram_proto(
-            np.asarray(values), bins))
+        histo = _histogram_proto(np.asarray(values), bins)
+        if histo is None:
+            import warnings
+            warnings.warn(f"histogram {tag!r} at step {step} has no finite "
+                          "values (all NaN/Inf) — not logged")
+            return
+        value_msg = _string(1, tag) + _bytes(5, histo)
         summary = _bytes(1, value_msg)
         self._write_event(_f64(1, time.time()) + _int(2, int(step))
                           + _bytes(5, summary))

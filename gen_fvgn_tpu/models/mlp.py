@@ -104,8 +104,9 @@ class Mlp(nn.Module):
             from gen_fvgn_tpu.ops.blocksparse import apply_linop
             from gen_fvgn_tpu.ops.fused_mlp import fused_mlp_ln_parts
             (w1, b1), (w2, b2) = hidden
-            # folded-batch layout [M, B, C]: the kernel sees the free
-            # reshape [M·B, C] (contiguous — batch rides the row axis)
+            # batch-major layout [B, M, C] (apply_linop's batched
+            # contract): the kernel sees the free leading-axis collapse
+            # [B·M, C]
             lead = plain[0][0].shape[:-1]
             flat = (lambda a: a.reshape(-1, a.shape[-1])) \
                 if len(lead) == 2 else (lambda a: a)

@@ -29,6 +29,10 @@ def make_eval_step_block(cfg: Config, simulator_apply) -> Callable:
         b = jax.tree_util.tree_leaves(dyn)[0].shape[0]
         mb = cfg.microbatch
         if not mb or b <= mb or b % mb:
+            # non-divisible batches fall back to the unchunked forward —
+            # they re-enter the vmapped-gather regime above mb, so prefer
+            # eval batch sizes divisible by cfg.microbatch. (Eval chunking
+            # is also not dp-aware — rollout/instance-opt run single-mesh.)
             return fwd(params, norm_state, dyn, static)
         n_k = b // mb
         dyn_k = jax.tree_util.tree_map(

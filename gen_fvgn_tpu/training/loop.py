@@ -138,12 +138,7 @@ def _log_param_histograms(logger, state, epoch):
     the reference's histogram logging, Logger.py:152-176; the grad 2-norm
     is already a per-epoch scalar, and RunLogger.log_model_gradients
     serves callers that hold a gradient tree). No-op when TB is off."""
-    if getattr(logger, "_tb", None) is None:
-        return
-    flat = np.concatenate([
-        np.asarray(p, np.float32).reshape(-1)
-        for p in jax.tree_util.tree_leaves(state.params)])
-    logger.log_histogram("params", flat, epoch)
+    logger.log_param_histogram(state.params, epoch)
 
 
 def _train_block(cfg, case_dirs, cases, log_base_dir, seed, n_epochs,

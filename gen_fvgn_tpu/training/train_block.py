@@ -52,40 +52,63 @@ def make_train_step_block(cfg: Config, simulator_apply,
     throughput PEAKS at batch 8 — above it XLA lowers the vmapped
     row/tile-gathers to serialized while-loops (round-2 cliff; measured
     b32: 136 solves/s vmapped, 99-133 for both manual batch-folding
-    layouts) — so a b32 step runs as 4 peak-rate b8 chunks. The gradient
-    is mathematically identical (mean over equal-size chunks); the running
-    normalizer accumulates chunk-sequentially (same streaming semantics as
-    consecutive steps)."""
+    layouts) — so a b32 step runs as 4 peak-rate b8 chunks. Chunking is
+    EXACT: the gradient is the mean over equal-size chunks, and the
+    whole-batch normalizer accumulation is hoisted out of the chunk loop
+    (reference order: accumulate all rows, then normalize with the
+    updated stats), so chunked and unchunked steps match bit-for-bit
+    modulo f32 summation order. Batches at/below the per-DEVICE peak
+    (microbatch × dp_devices) or not divisible into equal chunks run
+    unchunked, as before the chunker existed."""
     opt = _make_optimizer(cfg)
     schedule = step_exp_lr(cfg)
 
-    def loss_fn(params, norm_state, dyn, static):
+    def loss_fn(params, norm_state, dyn, static, accumulate=True):
         outputs = forward_batch_block(simulator_apply, params, norm_state,
                                       dyn, static, cfg,
-                                      accumulate_normalizer=True)
+                                      accumulate_normalizer=accumulate)
         return training_loss(outputs, cfg), outputs
 
     def grads_and_outputs(state, dyn, static):
         """(loss, grads, norm_state, stacked per-sample outputs)."""
+        from functools import partial
+
         b = jax.tree_util.tree_leaves(dyn)[0].shape[0]
         mb = cfg.microbatch
-        if not mb or b <= mb:
+        # mb is the PER-DEVICE microbatch: with dp sharding (contiguous
+        # per-device row blocks) each chunk must take mb rows from EVERY
+        # device — chunking contiguous global rows would serialize the
+        # devices. Batches at/below the per-device peak, or not evenly
+        # divisible into chunks, run unchunked (previous behavior).
+        n_dev = max(cfg.dp_devices, 1)
+        eff_mb = mb * n_dev
+        if not mb or b <= eff_mb or b % eff_mb:
             (loss, outputs), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, state.norm_state, dyn,
                                        static)
             return loss, grads, outputs.norm_state, outputs
-        # mb is the PER-DEVICE microbatch: with dp sharding (contiguous
-        # per-device row blocks) each chunk must take mb rows from EVERY
-        # device — chunking contiguous global rows would serialize the
-        # devices. Row-to-chunk assignment is free (per-sample losses are
-        # independent), so reshape device-major and move the chunk axis out.
-        n_dev = max(cfg.dp_devices, 1)
-        eff_mb = mb * n_dev
-        if b % eff_mb:
-            raise ValueError(f"batch {b} not divisible by microbatch {mb} x "
-                             f"dp_devices {n_dev}")
         n_k = b // eff_mb
 
+        # EXACT normalizer semantics under chunking: the unchunked step
+        # accumulates the whole batch's θ rows FIRST, then normalizes with
+        # the updated stats (reference order, normalization.py:39-44).
+        # Hoist that whole-batch accumulation out of the chunk loop and run
+        # every chunk with accumulation off against the updated state —
+        # num_acc advances once per STEP (not per chunk) and every chunk
+        # sees exactly the stats the unchunked step would use.
+        norm_state = state.norm_state
+        if cfg.norm_global:
+            from gen_fvgn_tpu.training import normalizer as norm_mod
+            n_pad = dyn.uvp.shape[1]
+            theta_nodes = jnp.broadcast_to(
+                dyn.theta[:, None, :], (b, n_pad, dyn.theta.shape[-1]))
+            mask_b = jnp.broadcast_to(static.node_mask[None], (b, n_pad))
+            _, norm_state = norm_mod.normalize(
+                norm_state, theta_nodes, mask_b,
+                max_accumulations=float(cfg.dataset_size), accumulate=True)
+
+        # Row-to-chunk assignment is free (per-sample losses independent):
+        # reshape device-major and move the chunk axis out.
         def chunk(x):
             y = x.reshape((n_dev, n_k, mb) + x.shape[1:])
             return jnp.moveaxis(y, 1, 0).reshape(
@@ -93,18 +116,18 @@ def make_train_step_block(cfg: Config, simulator_apply,
         dyn_k = jax.tree_util.tree_map(chunk, dyn)
 
         def body(carry, dk):
-            norm_state, gacc, lacc = carry
+            gacc, lacc = carry
             (loss, outputs), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params, norm_state, dk, static)
+                partial(loss_fn, accumulate=False), has_aux=True)(
+                state.params, norm_state, dk, static)
             gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
             ys = (outputs.loss_cont, outputs.loss_mom_x, outputs.loss_mom_y,
                   outputs.loss_press, outputs.uvp_node_new,
                   outputs.uvp_cell_new)
-            return (outputs.norm_state, gacc, lacc + loss), ys
+            return (gacc, lacc + loss), ys
 
         gacc0 = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-        (norm_state, gacc, lsum), ys = jax.lax.scan(
-            body, (state.norm_state, gacc0, 0.0), dyn_k)
+        (gacc, lsum), ys = jax.lax.scan(body, (gacc0, 0.0), dyn_k)
         grads = jax.tree_util.tree_map(lambda g: g / n_k, gacc)
 
         def unchunk(x):

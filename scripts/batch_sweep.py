@@ -26,46 +26,13 @@ DEFAULT_CASE = ("/root/reference/mesh_example/lid_driven_cavity/"
 
 
 def run_one(case, batch_size, n_steps, tile, pad):
-    import jax
-    from gen_fvgn_tpu.config import Config
-    from gen_fvgn_tpu.training.pool import EnvPool
-    from gen_fvgn_tpu.training.train_block import (init_train_state_block,
-                                                   make_train_step_block)
-
-    cfg = Config(batch_size=batch_size, dataset_size=batch_size,
-                 n_epochs=1000, mxu_dtype="bfloat16", tile=tile)
-    pool = EnvPool([case], cfg, seed=0, pad_multiple=max(tile, pad),
-                   engine="block", tile=tile)
-    static = pool.statics[0]
-    dyn = pool.gather_block(np.arange(batch_size))
-
-    state, apply_fn = init_train_state_block(cfg, dyn, static, seed=0)
-    step = make_train_step_block(cfg, apply_fn, donate=True)
-
-    t0 = time.time()
-    state, metrics, _ = step(state, dyn, static)
-    _ = float(metrics.loss)
-    compile_s = time.time() - t0
-    for _ in range(2):
-        state, metrics, _ = step(state, dyn, static)
-    _ = float(metrics.loss)
-
-    t0 = time.time()
-    for _ in range(n_steps):
-        state, metrics, _ = step(state, dyn, static)
-    _ = float(metrics.loss)               # queue drain
-    elapsed = time.time() - t0
-
-    sps = n_steps / elapsed
-    return {
-        "batch": batch_size,
-        "steps_per_sec": round(sps, 3),
-        "solves_per_sec": round(sps * batch_size, 1),
-        "ms_per_step": round(1e3 * elapsed / n_steps, 2),
-        "compile_s": round(compile_s, 1),
-        "tile": tile,
-        "pad": pad,
-    }
+    """One sweep point — delegates to bench.bench_case so there is exactly
+    ONE copy of the timing methodology (warmup counts, queue-drain
+    readback; see CLAUDE.md timing rules)."""
+    import bench
+    row = bench.bench_case(case, batch_size, n_steps, tile, pad)
+    row.update(tile=tile, pad=pad)
+    return row
 
 
 def main(argv=None):

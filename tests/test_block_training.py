@@ -36,20 +36,20 @@ def test_block_loss_decreases(setup):
     assert losses[-1] < losses[0]
 
 
-def test_microbatch_chunking_matches_full_batch():
+@pytest.mark.parametrize("norm_global", [False, True])
+def test_microbatch_chunking_matches_full_batch(norm_global):
     """Gradient-accumulation microbatching (the batch-scaling-cliff answer:
     batches above the measured per-chip throughput peak run as sequential
     peak-rate chunks inside the jit) must be EXACT: same loss, same
-    per-sample outputs, and the same parameter update as the unchunked
-    step — the gradient of a batch mean is the mean of equal-size chunk
-    gradients."""
+    per-sample outputs, the same parameter update, AND the same normalizer
+    semantics — the whole-batch θ accumulation is hoisted before the chunk
+    loop, so every chunk normalizes with exactly the stats the unchunked
+    step uses (and num_acc advances once per step, not per chunk)."""
     import jax
 
     base = dict(dataset_size=4, mxu_dtype="float32", hidden_size=32,
                 message_passing_num=1, slice_num=8, attn_heads=4, lr=2e-3,
-                engine="block", norm_global=False)
-    # norm_global off: the running normalizer accumulates chunk-sequentially
-    # (documented semantic difference); everything else must match exactly
+                engine="block", norm_global=norm_global)
     cfg_full = Config(batch_size=4, microbatch=0, **base)
     cfg_mb = Config(batch_size=4, microbatch=2, **base)
     case = synthetic_case(cavity_quad_mesh(6), source=1.0, mu=0.1)
@@ -72,6 +72,43 @@ def test_microbatch_chunking_matches_full_batch():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
             err_msg=f"param mismatch at {jax.tree_util.keystr(pa)}")
+    # normalizer state (count AND stats) must match the unchunked step
+    for name in ("acc_sum", "acc_sum_sq", "acc_count", "num_acc"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_mb.norm_state, name)),
+            np.asarray(getattr(s_full.norm_state, name)),
+            rtol=1e-6, err_msg=f"norm_state.{name}")
+
+
+def test_microbatch_guard_falls_back_unchunked():
+    """Batches at/below microbatch x dp_devices, or not divisible into
+    equal chunks, must run unchunked — not crash (round-3 review: the
+    per-device guard previously rejected valid dp configs and any
+    non-divisible batch)."""
+    base = dict(dataset_size=6, mxu_dtype="float32", hidden_size=32,
+                message_passing_num=1, slice_num=8, attn_heads=4, lr=2e-3,
+                engine="block", norm_global=False)
+    case = synthetic_case(cavity_quad_mesh(6), source=1.0, mu=0.1)
+
+    # b=6 not divisible by mb=4 -> unchunked, no raise
+    cfg = Config(batch_size=6, microbatch=4, **base)
+    pool = EnvPool([], cfg, seed=0, cases=[case], engine="block")
+    dyn = pool.gather_block(np.arange(6))
+    static = pool.statics[0]
+    state, apply_fn = init_train_state_block(cfg, dyn, static, seed=0)
+    _, m, _ = make_train_step_block(cfg, apply_fn, donate=False)(
+        state, dyn, static)
+    assert np.isfinite(float(m.loss))
+
+    # dp config with per-device batch below mb: b=4 <= mb*n_dev=4 -> no
+    # chunking, no raise (uses the virtual 2-device mesh replication-free
+    # path only for shape checking; runs unsharded here)
+    cfg2 = Config(batch_size=4, microbatch=2, dp_devices=2,
+                  **{**base, "dataset_size": 4})
+    dyn2 = pool.gather_block(np.arange(4))
+    _, m2, _ = make_train_step_block(cfg2, apply_fn, donate=False)(
+        state, dyn2, static)
+    assert np.isfinite(float(m2.loss))
 
 
 def test_microbatch_dp_chunking_is_device_balanced():
