@@ -46,9 +46,45 @@ def shape_bytes(dtype: str, dims: str) -> int:
     return n * DTYPE_BYTES.get(dtype, 4)
 
 
+def shape_bytes_physical(dtype: str, dims: str) -> int:
+    """Physical (tile-padded) buffer bytes: TPU layouts tile the two minor
+    dims to (8, 128) for 4-byte types / (16, 128) for 2-byte / (32, 128)
+    for 1-byte — a [N, 7] f32 array occupies [N→8k, 128] physically, ~18×
+    its logical bytes. This is what actually crosses HBM.
+
+    APPROXIMATION: assumes the default row-major layout (last logical dim
+    on lanes). XLA sometimes permutes (e.g. {2,3,1,0} putting a large dim
+    minor), which pads less — so this is an UPPER estimate for permuted
+    buffers; the aggregate %-of-roofline carries that uncertainty."""
+    if not dims:
+        return DTYPE_BYTES.get(dtype, 4)
+    d = [int(x) for x in dims.split(",")]
+    item = DTYPE_BYTES.get(dtype, 4)
+    sub = {1: 32, 2: 16}.get(item, 8)
+    d[-1] = -(-d[-1] // 128) * 128
+    if len(d) >= 2:
+        d[-2] = -(-d[-2] // sub) * sub
+    n = 1
+    for x in d:
+        n *= x
+    return n * item
+
+
 def parse_entry_traffic(hlo_text: str):
-    """Per-instruction (result + operand) bytes for the ENTRY computation of
-    optimized HLO text, with source attribution from metadata."""
+    """Per-instruction HBM-traffic bytes for the ENTRY computation of
+    optimized HLO text, with source attribution from metadata.
+
+    Accounting rules (validated against the bench step's dump):
+      * ordinary instruction: result + operand buffer bytes (each fusion
+        reads inputs from HBM, writes outputs once; a buffer read by N
+        consumers is counted N times — correct for HBM traffic);
+      * `copy-start` is skipped and its `copy-done` counted once — these
+        are XLA cross-program prefetches of big constants (the WLSQ
+        operator blocks), not algorithmic traffic;
+      * `slice-start` counts 2× the SLICED size (read slice + write), not
+        the full source buffer its signature mentions; `slice-done` is
+        skipped (already counted);
+      * parameters/constants/bitcasts/tuples are free."""
     lines = hlo_text.splitlines()
     in_entry = False
     rows = []
@@ -63,19 +99,35 @@ def parse_entry_traffic(hlo_text: str):
         s = line.strip()
         if not s or "=" not in s:
             continue
-        # skip free/bookkeeping ops
-        if any(op in s for op in _FREE_OPS):
+        name = s.split("=", 1)[0].strip().lstrip("%")
+        if name.startswith("ROOT"):
+            name = s.split("=", 1)[0].replace("ROOT", "").strip().lstrip("%")
+        kind = re.sub(r"[.\d]+$", "", name)
+        if kind in ("copy-start", "slice-done", "bitcast", "tuple",
+                    "get-tuple-element", "parameter", "constant",
+                    "after-all"):
+            continue
+        if any(op in s.split("(", 1)[0] for op in _FREE_OPS):
             continue
         shapes = _SHAPE_RE.findall(s)
         if not shapes:
             continue
-        nbytes = sum(shape_bytes(dt, dims) for dt, dims in shapes)
+        sizes = [shape_bytes(dt, dims) for dt, dims in shapes]
+        psizes = [shape_bytes_physical(dt, dims) for dt, dims in shapes]
+        if kind == "slice-start":
+            big = [b for b in sizes if b > 64]
+            nbytes = 2 * min(big) if big else sum(sizes)
+            bigp = [b for b in psizes if b > 64]
+            pbytes = 2 * min(bigp) if bigp else sum(psizes)
+        else:
+            nbytes = sum(sizes)
+            pbytes = sum(psizes)
         m = re.search(r'op_name="([^"]+)"', s)
         op_name = m.group(1) if m else ""
-        m2 = re.search(r'source_file="([^"]+)".*source_line=(\d+)', s)
-        src = f"{os.path.basename(m2.group(1))}:{m2.group(2)}" if m2 else "?"
-        kind = s.split("=", 1)[1].strip().split("(")[0].split()[-1]
-        rows.append((nbytes, kind, op_name, src))
+        m2 = re.search(r'source_file="([^"]+)".*?source_line=(\d+)', s)
+        src_tag = (f"{os.path.basename(m2.group(1))}:{m2.group(2)}"
+                   if m2 else f"[{kind}]")
+        rows.append((nbytes, kind, op_name, src_tag, pbytes))
     return rows
 
 
@@ -87,7 +139,16 @@ def main(argv=None):
                     help="measured sustained HBM bandwidth (ROUND_NOTES)")
     ap.add_argument("--json", default=None)
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--hlo-file", default=None,
+                    help="offline mode: parse a saved optimized-HLO dump "
+                    "instead of compiling (pair with --ms)")
+    ap.add_argument("--ms", type=float, default=None,
+                    help="measured ms/step to pair with --hlo-file")
     args = ap.parse_args(argv)
+
+    if args.hlo_file:
+        _report(open(args.hlo_file).read(), args.ms, args)
+        return
 
     from gen_fvgn_tpu.utils.jax_setup import setup_cache
     setup_cache()
@@ -108,8 +169,6 @@ def main(argv=None):
 
     compiled = step.lower(state, dyn, static).compile()
     hlo = compiled.as_text()
-    rows = parse_entry_traffic(hlo)
-    total_bytes = sum(r[0] for r in rows)
 
     # measured step time (queue-drained python loop)
     s = state
@@ -123,39 +182,62 @@ def main(argv=None):
         s, m, _ = step(s, dyn, static)
     _ = float(m.loss)
     ms = 1e3 * (time.time() - t0) / args.steps
+    _report(hlo, ms, args)
 
+
+def _report(hlo: str, ms: float, args) -> None:
+    rows = parse_entry_traffic(hlo)
+    total_bytes = sum(r[0] for r in rows)
+    total_phys = sum(r[4] for r in rows)
     achieved_gbs = total_bytes / 1e9 / (ms / 1e3)
+    phys_gbs = total_phys / 1e9 / (ms / 1e3)
     pct = 100.0 * achieved_gbs / args.roofline_gbs
+    pct_phys = 100.0 * phys_gbs / args.roofline_gbs
 
     # aggregate by source attribution
-    by_src = defaultdict(float)
-    for nbytes, kind, op_name, src in rows:
-        by_src[src] += nbytes
-    top = sorted(by_src.items(), key=lambda kv: -kv[1])[: args.top]
+    by_src = defaultdict(lambda: [0.0, 0.0])
+    for nbytes, kind, op_name, src, pbytes in rows:
+        by_src[src][0] += nbytes
+        by_src[src][1] += pbytes
+    top = sorted(by_src.items(), key=lambda kv: -kv[1][1])[: args.top]
 
     print(f"# optimized-HLO entry instructions: {len(rows)}")
-    print(f"# total modeled HBM traffic: {total_bytes / 1e9:.2f} GB/step")
-    print(f"# measured step time:        {ms:.2f} ms  (batch {args.batch})")
-    print(f"# implied aggregate BW:      {achieved_gbs:.0f} GB/s "
-          f"= {pct:.0f}% of the {args.roofline_gbs:.0f} GB/s measured "
-          f"sustained roofline")
+    print(f"# logical HBM traffic:  {total_bytes / 1e9:.2f} GB/step "
+          f"-> {achieved_gbs:.0f} GB/s = {pct:.0f}% of roofline")
+    print(f"# physical (tile-padded) traffic: {total_phys / 1e9:.2f} "
+          f"GB/step -> {phys_gbs:.0f} GB/s = {pct_phys:.0f}% of the "
+          f"{args.roofline_gbs:.0f} GB/s measured sustained roofline")
+    print(f"# measured step time:   {ms:.2f} ms  (batch {args.batch})")
+    print("# Reading: physical counts the (8,128)-tile padding that "
+          "actually crosses HBM —")
+    print("# the logical-vs-physical gap IS the lane-padding waste of "
+          "narrow-channel arrays.")
     print("#")
-    print("# traffic by source line (GB/step):")
-    for src, b in top:
-        print(f"#   {b / 1e9:7.3f}  {src}")
+    print("# traffic by source line (logical / physical GB/step):")
+    for src_name, (b, p) in top:
+        print(f"#   {b / 1e9:7.3f} {p / 1e9:8.3f}  {src_name}")
 
     if args.json:
         with open(args.json, "w") as f:
             json.dump({
                 "batch": args.batch,
-                "total_traffic_gb_per_step": round(total_bytes / 1e9, 3),
+                "logical_traffic_gb_per_step": round(total_bytes / 1e9, 3),
+                "physical_traffic_gb_per_step": round(total_phys / 1e9, 3),
                 "measured_ms_per_step": round(ms, 2),
-                "implied_gb_per_s": round(achieved_gbs, 1),
-                "pct_of_roofline": round(pct, 1),
+                "implied_logical_gb_per_s": round(achieved_gbs, 1),
+                "implied_physical_gb_per_s": round(phys_gbs, 1),
+                "pct_of_roofline_logical": round(pct, 1),
+                "pct_of_roofline_physical": round(pct_phys, 1),
                 "roofline_gbs": args.roofline_gbs,
+                "reading": "physical counts (8,128)-tile padding that "
+                           "actually crosses HBM; the logical-physical "
+                           "gap is the lane-padding waste of "
+                           "narrow-channel (FV) arrays",
+                "n_entry_instructions": len(rows),
                 "top_sources_gb": [
-                    {"src": ssrc, "gb": round(b / 1e9, 4)}
-                    for ssrc, b in top],
+                    {"src": ssrc, "logical_gb": round(b / 1e9, 4),
+                     "physical_gb": round(p / 1e9, 4)}
+                    for ssrc, (b, p) in top],
             }, f, indent=1)
 
 

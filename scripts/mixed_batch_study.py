@@ -110,8 +110,11 @@ def main(argv=None):
                 idxs = rng.choice(src, cfg.batch_size,
                                   replace=cfg.batch_size > len(src))
             state, m, uvp = step(state, pool.gather_batch(idxs))
-            if it % 2 == 1:
-                pool.payback(idxs, uvp)
+            # payback EVERY step for BOTH arms: paying back only on odd
+            # steps biased the stratified arm (odd steps were always case
+            # 1, so case-0 envs never advanced their autoregressive state
+            # — an artifact of the study, not of the curriculum)
+            pool.payback(idxs, uvp)
             curve.append({"step": it, "loss": float(m.loss),
                           "cont": float(m.loss_cont),
                           "mom": float(m.loss_mom)})
@@ -128,10 +131,39 @@ def main(argv=None):
                 print(f"[{mode}] wall-clock guard hit at step {it1}; "
                       f"truncating", flush=True)
                 break
-        return curve
+        return curve, state, apply_fn, pool
 
-    mixed = run("mixed")
-    strat = run("stratified")
+    def final_eval(state, apply_fn, pool):
+        """Held-out comparator: evaluate the FINAL model on one fixed
+        batch per case (fresh initial states, normalizer frozen) — the
+        per-step training loss depends on batch composition (stratified
+        steps alternate whole cases), so arm comparisons must use a
+        common probe."""
+        import jax
+        from gen_fvgn_tpu.training.forward import (forward_batch,
+                                                   training_loss)
+        per_case = {}
+        fresh = EnvPool([], cfg, seed=123, pad_multiple=pad_multiple,
+                        cases=cases, dataset_size=cfg.dataset_size,
+                        device_resident=False)
+        for ci, name in enumerate(summary_case_names):
+            idxs = np.asarray([i for i, e in enumerate(fresh.envs)
+                               if e.case_idx == ci][: cfg.batch_size])
+            batch = fresh.gather_batch(idxs)
+            out = forward_batch(apply_fn, state.params, state.norm_state,
+                                batch, cfg, accumulate_normalizer=False)
+            per_case[name] = float(training_loss(out, cfg))
+        return per_case
+
+    summary_case_names = ([os.path.basename(d) for d in REAL_CASES]
+                          if args.real else ["poisson", "ns_cavity"])
+
+    def run_with_eval(mode):
+        curve, state, apply_fn, pool = run(mode)
+        return curve, final_eval(state, apply_fn, pool)
+
+    mixed, mixed_eval = run_with_eval("mixed")
+    strat, strat_eval = run_with_eval("stratified")
 
     def tail_mean(c, key, k=None):
         k = k or max(50, len(c) // 20)
@@ -148,14 +180,21 @@ def main(argv=None):
         "stratified_final_cont": tail_mean(strat, "cont"),
         "mixed_final_mom": tail_mean(mixed, "mom"),
         "stratified_final_mom": tail_mean(strat, "mom"),
+        "mixed_eval_by_case": mixed_eval,
+        "stratified_eval_by_case": strat_eval,
     }
-    with open(args.out, "wt") as f:
+    with open(out, "wt") as f:
         json.dump({"summary": summary, "mixed": mixed,
                    "stratified": strat}, f)
     print(json.dumps(summary, indent=2))
     ratio = summary["mixed_final_loss"] / summary["stratified_final_loss"]
     print(f"final-loss ratio mixed/stratified: {ratio:.3f}")
-    print(f"wrote {args.out}")
+    for name in summary_case_names:
+        d = summary["mixed_eval_by_case"][name] - \
+            summary["stratified_eval_by_case"][name]
+        print(f"held-out eval {name}: mixed-stratified log-loss delta "
+              f"{d:+.4f}")
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":
