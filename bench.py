@@ -8,8 +8,8 @@ Measures the FULL train step — per-graph normalization, TransFVGN_v2
 forward, BC enforcement, IMEX mixing, folded-WLSQ gradient reconstruction,
 conserved-form FV residual assembly, log-loss backward, and the Adam
 update — on the block-sparse MXU engine (every graph transfer a precomputed
-dense-tile matmul; RCM-banded mesh; batch-major batched step, flat-index
-gathers — no vmap).
+dense-tile matmul; RCM-banded mesh; vmapped per-sample step with
+gradient-accumulation microbatching above the per-chip peak).
 
 Timing methodology: N python-loop steps with a final loss-VALUE readback,
 which drains the execution queue — dispatch saturation makes this a faithful
@@ -72,7 +72,8 @@ def bench_case(case_dir: str, batch_size: int, n_steps: int, tile: int,
                                                    make_train_step_block)
 
     cfg = Config(batch_size=batch_size, dataset_size=batch_size,
-                 n_epochs=1000, mxu_dtype="bfloat16", tile=tile)
+                 n_epochs=1000, mxu_dtype="bfloat16", tile=tile,
+                 fv_packed=os.environ.get("BENCH_FV_PACKED", "0") == "1")
     t0 = time.time()
     # pad to 512 so every fused-MLP M dim hits the fast 512-row kernel tile
     # with zero pad copies (256-padding forces either pads or 256-row tiles,

@@ -50,7 +50,7 @@ def forward_batch_block(
             accumulate=accumulate_normalizer)
     x = jnp.concatenate([phi, theta_ch], axis=-1)
 
-    def per_sample(x_one, dyn_one):
+    def model_one(x_one, dyn_one):
         # NOTE: the θ channels of dx are identically zero (per-graph
         # constants), but splitting them out as narrow parts LOSES on TPU —
         # sub-128-lane arrays are lane-padded, so two [E,3] streams cost
@@ -68,6 +68,36 @@ def forward_batch_block(
             uv_hat = uvp_new[:, 0:2]
         else:
             uv_hat = 0.5 * (uv_old_one + uvp_new[:, 0:2])
+        return uvp_new, uv_hat, uv_old_one
+
+    if getattr(cfg, "fv_packed", False):
+        # FV residual ONCE for the whole batch in channel-major packed
+        # lanes (no per-lane padding of the narrow f32 streams); the
+        # backbone stays vmapped (its layouts are already optimal)
+        from gen_fvgn_tpu.fv.integrator_block_packed import (
+            integrate_residuals_block_packed)
+        uvp_new, uv_hat, uv_old = jax.vmap(model_one)(x, dyn)
+        losses, rt_uvp, uvp_cell = integrate_residuals_block_packed(
+            uvp_new, uv_hat, uv_old, dyn, static,
+            order=cfg.order, conserved_form=cfg.conserved_form,
+            ncn_smooth=cfg.ncn_smooth)
+        rt_uvp = enforce_boundary_conditions(rt_uvp, static.node_type,
+                                             dyn.target_uv)
+        scale = (dyn.uvp_dim * dyn.sigma)[:, None, :]          # [B,1,3]
+        uvp_node_dim = rt_uvp * scale
+        uvp_cell_dim = uvp_cell * scale
+        return ForwardOutputs(
+            loss_cont=losses.cont.reshape(b, 1),
+            loss_mom_x=losses.mom_x.reshape(b, 1),
+            loss_mom_y=losses.mom_y.reshape(b, 1),
+            loss_press=losses.press.reshape(b, 1),
+            uvp_node_new=uvp_node_dim,
+            uvp_cell_new=uvp_cell_dim,
+            norm_state=norm_state,
+        )
+
+    def per_sample(x_one, dyn_one):
+        uvp_new, uv_hat, uv_old_one = model_one(x_one, dyn_one)
         losses, rt_uvp, uvp_cell = integrate_residuals_block(
             uvp_new, uv_hat, uv_old_one, dyn_one, static,
             order=cfg.order, conserved_form=cfg.conserved_form,

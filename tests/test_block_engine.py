@@ -159,6 +159,70 @@ def test_integrator_block_matches_segment(setup):
                                    rtol=5e-3, atol=1e-4)
 
 
+def test_packed_integrator_matches_vmapped(setup):
+    """Channel-major lane-packed FV section (cfg.fv_packed) vs the vmapped
+    integrator: identical losses and outputs — same math, different
+    physical layout (the bytes-budget lane-padding lever)."""
+    cfg, pool, batch, static, dyn = setup
+    from functools import partial
+
+    import jax
+    from gen_fvgn_tpu.fv.integrator_block import integrate_residuals_block
+    from gen_fvgn_tpu.fv.integrator_block_packed import (
+        integrate_residuals_block_packed)
+
+    rng = np.random.default_rng(5)
+    n_pad = int(batch.pos.shape[1])
+    uvp = rng.normal(size=(2, n_pad, 3)).astype(np.float32)
+    uvp *= np.asarray(batch.node_mask)[..., None]
+    uv_hat = uvp[..., 0:2] * 0.7
+    uv_old = uvp[..., 0:2] * 0.4
+
+    for conserved in (True, False):
+        ref = jax.vmap(partial(integrate_residuals_block, order=cfg.order,
+                               conserved_form=conserved, ncn_smooth=True,
+                               static=static),
+                       in_axes=(0, 0, 0, 0))(
+            jnp.asarray(uvp), jnp.asarray(uv_hat), jnp.asarray(uv_old), dyn)
+        pk = integrate_residuals_block_packed(
+            jnp.asarray(uvp), jnp.asarray(uv_hat), jnp.asarray(uv_old),
+            dyn, static, order=cfg.order, conserved_form=conserved,
+            ncn_smooth=True)
+        for name, a, bb in zip(("cont", "mom_x", "mom_y", "press"),
+                               ref[0], pk[0]):
+            np.testing.assert_allclose(
+                np.asarray(bb), np.asarray(a).reshape(-1), rtol=2e-5,
+                atol=1e-6, err_msg=f"{name} conserved={conserved}")
+        np.testing.assert_allclose(np.asarray(pk[1]), np.asarray(ref[1]),
+                                   rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(pk[2]), np.asarray(ref[2]),
+                                   rtol=2e-5, atol=1e-6)
+
+
+def test_packed_forward_matches_vmapped(setup):
+    """Full forward with cfg.fv_packed=True vs False: same outputs."""
+    cfg, pool, batch, static, dyn = setup
+    from gen_fvgn_tpu.models.simulator_block import make_simulator_block
+    from gen_fvgn_tpu.training.forward_block import forward_batch_block
+    from gen_fvgn_tpu.training.train import init_train_state
+
+    state, _ = init_train_state(cfg, batch, seed=0)
+    sim_b = make_simulator_block(cfg)
+    out_v = forward_batch_block(sim_b.apply, state.params, state.norm_state,
+                                dyn, static, cfg,
+                                accumulate_normalizer=False)
+    cfg_p = cfg.replace(fv_packed=True)
+    out_p = forward_batch_block(sim_b.apply, state.params, state.norm_state,
+                                dyn, static, cfg_p,
+                                accumulate_normalizer=False)
+    for name in ("loss_cont", "loss_mom_x", "loss_mom_y", "loss_press",
+                 "uvp_node_new", "uvp_cell_new"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_p, name)),
+            np.asarray(getattr(out_v, name)), rtol=2e-5, atol=1e-6,
+            err_msg=name)
+
+
 def test_full_forward_matches(setup):
     cfg, pool, batch, static, dyn = setup
     from gen_fvgn_tpu.models import make_simulator
