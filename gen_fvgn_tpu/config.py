@@ -92,6 +92,17 @@ class Config:
     bucket_tiers: bool = False         # segment engine: per-size padding tiers
                                        # (batches stay within a tier) instead of
                                        # one bucket padded to the largest case
+    mixed_case_batches: bool = False   # block engine: sample batches from ONE
+                                       # global permutation across ALL cases
+                                       # (reference SharedSampler parity,
+                                       # Graph_loader.py:786-828) instead of
+                                       # stratifying batches per case. Each
+                                       # batch is split into per-case groups
+                                       # (shared StaticPack per group) and the
+                                       # gradient is the EXACT weighted sum of
+                                       # group gradients — same batch-mean
+                                       # gradient the reference computes, at a
+                                       # few extra dispatches per step.
 
     @property
     def edge_input_size(self) -> int:

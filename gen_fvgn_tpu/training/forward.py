@@ -144,3 +144,19 @@ def training_loss(outputs: ForwardOutputs, cfg: Config) -> jnp.ndarray:
                   + cfg.loss_mom * outputs.loss_mom_x
                   + cfg.loss_mom * outputs.loss_mom_y)
     return jnp.mean(jnp.log(jnp.maximum(loss_batch, 1e-30)))
+
+
+def training_loss_weighted(outputs: ForwardOutputs, cfg: Config,
+                           weights: jnp.ndarray) -> jnp.ndarray:
+    """Σ_b w_b · log(loss_b) — the per-sample-weighted form of
+    `training_loss`. With w_b = 1/B on real rows and 0 on padded rows this
+    is EXACTLY the batch-mean log loss over a mixed-case batch's real
+    samples, so summing it (and its gradient) over the batch's per-case
+    groups reproduces the reference's freely-mixed batch
+    (pre_train_Adam.py:176-185 over a SharedSampler batch)."""
+    loss_batch = (cfg.loss_press * outputs.loss_press
+                  + cfg.loss_cont * outputs.loss_cont
+                  + cfg.loss_mom * outputs.loss_mom_x
+                  + cfg.loss_mom * outputs.loss_mom_y)
+    logp = jnp.log(jnp.maximum(loss_batch, 1e-30))
+    return jnp.sum(weights.reshape(logp.shape) * logp)

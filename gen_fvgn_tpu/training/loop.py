@@ -145,9 +145,13 @@ def _train_block(cfg, case_dirs, cases, log_base_dir, seed, n_epochs,
                  resume_from, pad_multiple, progress_every, logger,
                  use_tensorboard=False):
     """Block-engine training loop: single-case batches against shared
-    per-case StaticPacks; dynamics stay in the device pool."""
+    per-case StaticPacks; dynamics stay in the device pool. With
+    cfg.mixed_case_batches, batches sample from one global permutation
+    across cases (reference SharedSampler parity) and run as exact
+    per-case-group gradient accumulation (MixedTrainStepBlock)."""
     from gen_fvgn_tpu.io.checkpoint import RotatingCheckpointer, load_state
-    from gen_fvgn_tpu.training.train_block import (init_train_state_block,
+    from gen_fvgn_tpu.training.train_block import (MixedTrainStepBlock,
+                                                   init_train_state_block,
                                                    make_train_step_block)
 
     pool = EnvPool(case_dirs, cfg, seed=seed, pad_multiple=pad_multiple,
@@ -160,6 +164,14 @@ def _train_block(cfg, case_dirs, cases, log_base_dir, seed, n_epochs,
                                              seed=seed)
     if resume_from is not None:
         state = load_state(resume_from, like=state)
+    mixed = None
+    if cfg.mixed_case_batches:
+        if cfg.dp_devices > 1:
+            raise NotImplementedError(
+                "mixed_case_batches + dp sharding: per-case groups have "
+                "data-dependent sizes that cannot shard evenly; use the "
+                "default stratified batches with dp")
+        mixed = MixedTrainStepBlock(cfg, apply_fn)
     step = make_train_step_block(cfg, apply_fn)
 
     # data parallelism: dyn batch sharded over the dp mesh, params/opt state
@@ -196,6 +208,13 @@ def _train_block(cfg, case_dirs, cases, log_base_dir, seed, n_epochs,
         for i_iter in range(cfg.max_inner_steps):
             train_steps += 1
             payback = i_iter == cfg.max_inner_steps - 1
+            if mixed is not None:
+                for batch in pool.mixed_block_batches(step_seed=train_steps):
+                    state, metrics = mixed.run_batch(
+                        state, batch, pool.gather_block, statics,
+                        payback=pool.payback_block if payback else None)
+                    last_metrics = metrics
+                continue
             for ci, idxs in pool.block_batches(step_seed=train_steps):
                 dyn = pool.gather_block(idxs)
                 if mesh is not None:

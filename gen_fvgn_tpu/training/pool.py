@@ -268,6 +268,39 @@ class EnvPool:
         rng.shuffle(out)
         return out
 
+    def mixed_block_batches(self, step_seed: int):
+        """Reference-parity mixed sampler (SharedSampler,
+        Graph_loader.py:786-828): ONE global permutation over all envs cut
+        into batch_size chunks, each chunk split into per-case groups so
+        the shared StaticPack still serves each group. Returns a list of
+        batches; a batch is a list of (case_idx, idxs, weights, n_real).
+        Groups are padded to the next power of two with repeated rows at
+        weight 0 (few compiled shapes); real rows carry weight
+        1/batch_size, so the sum of weighted group gradients is EXACTLY
+        the batch-mean gradient of the reference's mixed batch."""
+        rng = np.random.default_rng(step_seed)
+        bs = self.cfg.batch_size
+        perm = rng.permutation(len(self.envs))
+        out = []
+        for j in range(len(perm) // bs):
+            chunk = perm[j * bs:(j + 1) * bs]
+            groups: Dict[int, list] = {}
+            for i in chunk:
+                groups.setdefault(self.envs[int(i)].case_idx,
+                                  []).append(int(i))
+            batch = []
+            for ci in sorted(groups):
+                ix = groups[ci]
+                g = len(ix)
+                gp = 1 << (g - 1).bit_length()
+                idxs = np.asarray(ix + [ix[k % g] for k in range(gp - g)],
+                                  np.int32)
+                w = np.zeros(gp, np.float32)
+                w[:g] = 1.0 / bs
+                batch.append((ci, idxs, w, g))
+            out.append(batch)
+        return out
+
     def gather_block(self, idxs: np.ndarray):
         import jax.numpy as jnp
         ci = self.envs[int(idxs[0])].case_idx

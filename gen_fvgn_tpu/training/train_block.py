@@ -164,6 +164,137 @@ def make_train_step_block(cfg: Config, simulator_apply,
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
+class MixedTrainStepBlock:
+    """Jitted pieces of a mixed-case train step (cfg.mixed_case_batches).
+
+    A mixed batch (reference SharedSampler parity) is a list of per-case
+    groups that share different StaticPacks, so it cannot run as one jitted
+    call; instead the step runs as a short dispatch sequence that is still
+    EXACT versus the reference's single mixed batch:
+
+      1. `group_stats` per group + `norm_update` once — the whole-batch
+         normalizer accumulation hoisted across groups (reference order:
+         accumulate every row first, then normalize with the updated stats;
+         num_acc advances once per STEP, exactly as the unchunked
+         single-case step does).
+      2. `group_grads` per group — weighted-SUM loss (weights 1/B on real
+         rows, 0 on pads), gradients accumulated into a donated tree.
+         Σ groups == the batch-mean gradient of the mixed batch.
+      3. `apply_update` once — LR schedule + one optimizer update.
+
+    Compiled shapes stay few: groups are padded to powers of two, so each
+    case compiles at most log2(batch_size)+1 group sizes.
+    """
+
+    def __init__(self, cfg: Config, simulator_apply):
+        self.cfg = cfg
+        opt = _make_optimizer(cfg)
+        schedule = step_exp_lr(cfg)
+        n_feat = cfg.node_input_size - cfg.node_phi_size
+
+        def init_sums():
+            return (jnp.zeros((n_feat,), jnp.float32),
+                    jnp.zeros((n_feat,), jnp.float32),
+                    jnp.zeros((), jnp.float32))
+        self.init_sums = jax.jit(init_sums)
+
+        def group_stats(sums, dyn, static, weights):
+            b, n_pad = dyn.uvp.shape[:2]
+            theta_nodes = jnp.broadcast_to(
+                dyn.theta[:, None, :], (b, n_pad, dyn.theta.shape[-1]))
+            m = (static.node_mask[None].astype(jnp.float32)
+                 * (weights > 0).astype(jnp.float32)[:, None])   # [b, n_pad]
+            flat = theta_nodes * m[..., None]
+            return (sums[0] + jnp.sum(flat, axis=(0, 1)),
+                    sums[1] + jnp.sum(flat ** 2, axis=(0, 1)),
+                    sums[2] + jnp.sum(m))
+        self.group_stats = jax.jit(group_stats, donate_argnums=(0,))
+
+        def norm_update(norm_state, sums):
+            # one accumulate() call's worth of update with the whole
+            # batch's masked rows (normalizer.py::normalize, accumulate
+            # branch) — num_acc advances once per step
+            should = (norm_state.num_acc
+                      < float(cfg.dataset_size)).astype(jnp.float32)
+            from gen_fvgn_tpu.training.normalizer import NormalizerState
+            return NormalizerState(
+                acc_sum=norm_state.acc_sum + should * sums[0],
+                acc_sum_sq=norm_state.acc_sum_sq + should * sums[1],
+                acc_count=norm_state.acc_count + should * sums[2],
+                num_acc=norm_state.num_acc + should)
+        self.norm_update = jax.jit(norm_update)
+
+        def init_acc(params):
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+            return {"gsum": zeros, "loss": jnp.zeros(()),
+                    "cont": jnp.zeros(()), "mom": jnp.zeros(()),
+                    "press": jnp.zeros(())}
+        self.init_acc = jax.jit(init_acc)
+
+        def group_grads(params, norm_state, acc, dyn, static, weights):
+            from gen_fvgn_tpu.training.forward import training_loss_weighted
+
+            def lfn(p):
+                outputs = forward_batch_block(
+                    simulator_apply, p, norm_state, dyn, static, cfg,
+                    accumulate_normalizer=False)
+                return training_loss_weighted(outputs, cfg, weights), outputs
+
+            (loss_w, outputs), grads = jax.value_and_grad(
+                lfn, has_aux=True)(params)
+            w = weights.reshape(-1, 1)
+            acc = {
+                "gsum": jax.tree_util.tree_map(jnp.add, acc["gsum"], grads),
+                "loss": acc["loss"] + loss_w,
+                "cont": acc["cont"] + jnp.sum(w * outputs.loss_cont),
+                "mom": acc["mom"] + jnp.sum(
+                    w * (outputs.loss_mom_x + outputs.loss_mom_y)),
+                "press": acc["press"] + jnp.sum(w * outputs.loss_press),
+            }
+            return acc, outputs.uvp_node_new
+        self.group_grads = jax.jit(group_grads, donate_argnums=(2,))
+
+        def apply_update(state: TrainState, acc, norm_state):
+            lr = schedule(state.epoch)
+            opt_state = state.opt_state
+            opt_state.hyperparams["learning_rate"] = lr
+            updates, opt_state = opt.update(acc["gsum"], opt_state,
+                                            state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                params=params, opt_state=opt_state,
+                norm_state=norm_state, step=state.step + 1)
+            metrics = StepMetrics(
+                loss=acc["loss"], loss_cont=acc["cont"],
+                loss_mom=acc["mom"], loss_press=acc["press"],
+                grad_norm=optax.global_norm(acc["gsum"]), lr=lr)
+            return new_state, metrics
+        # donate only the accumulator: state.norm_state's buffers can also
+        # arrive as the norm_state argument (norm_global off), so donating
+        # the whole state would alias a donated buffer with a live input
+        self.apply_update = jax.jit(apply_update, donate_argnums=(1,))
+
+    def run_batch(self, state: TrainState, batch, gather, statics,
+                  payback=None):
+        """Drive one mixed batch: `batch` is pool.mixed_block_batches()[i]
+        ([(ci, idxs, weights, n_real), ...]); `gather(idxs)` returns the
+        group's DynamicPack; `payback(idxs, uvp)`, when given, is called
+        with each group's REAL rows only."""
+        norm_state = state.norm_state
+        if self.cfg.norm_global:
+            sums = self.init_sums()
+            for ci, idxs, w, _ in batch:
+                sums = self.group_stats(sums, gather(idxs), statics[ci], w)
+            norm_state = self.norm_update(norm_state, sums)
+        acc = self.init_acc(state.params)
+        for ci, idxs, w, g in batch:
+            acc, uvp_new = self.group_grads(
+                state.params, norm_state, acc, gather(idxs), statics[ci], w)
+            if payback is not None:
+                payback(idxs[:g], uvp_new[:g])
+        return self.apply_update(state, acc, norm_state)
+
+
 def make_scan_train(cfg: Config, simulator_apply, n_steps: int) -> Callable:
     """K chained train steps inside ONE jit (lax.scan) — used by the
     benchmark so measured time is true device time (per-dispatch timing is

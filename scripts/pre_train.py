@@ -50,6 +50,10 @@ def main(argv=None):
                     help="block engine: gradient-accumulation chunk size "
                     "for batches above the per-chip throughput peak "
                     "(0 disables)")
+    ap.add_argument("--mixed-case-batches", type=int, default=0,
+                    help="block engine: sample batches from one global "
+                    "permutation across all cases (reference SharedSampler "
+                    "parity) via exact per-case-group grad accumulation")
     ap.add_argument("--tensorboard", type=int, default=0,
                     help="also log scalars to TensorBoard event files "
                     "(dependency-free writer)")
@@ -66,7 +70,8 @@ def main(argv=None):
         dp_devices=args.dp_devices, mxu_dtype=args.mxu_dtype,
         engine=args.engine, bucket_tiers=bool(args.bucket_tiers),
         export_on_reset=bool(args.export_on_reset),
-        microbatch=args.microbatch)
+        microbatch=args.microbatch,
+        mixed_case_batches=bool(args.mixed_case_batches))
 
     case_dirs = sorted(
         {os.path.dirname(os.path.join(sub, f))
