@@ -59,15 +59,19 @@ class Config:
     dp_devices: int = 1                # data-parallel shard count of the batch axis
     engine: str = "segment"            # {"segment", "block"} sparse-op engine
     tile: int = 256                    # block-engine dense tile size
-    fv_packed: bool = False            # block engine: run the FV residual
+    fv_packed: bool = True             # block engine: run the FV residual
                                        # section ONCE for the whole batch
                                        # in channel-major packed lanes
                                        # [rows, C·B] instead of per vmap
                                        # lane — removes the (8,128)-tile
                                        # lane padding of the narrow f32 FV
                                        # streams (bytes-budget lever).
-                                       # Equivalence-tested; off until the
-                                       # measured win is recorded.
+                                       # Measured on the bench chip:
+                                       # −2.8 GB/step XLA bytes, cavity b8
+                                       # 26.4→27.1 steps/s, b32 245→253
+                                       # solves/s, poly 8.1→8.36 steps/s.
+                                       # Forward + loss-grad equivalence
+                                       # tested vs the vmapped integrator.
     wlsq_block_rows: str = "grad"      # {"grad", "full"}: fold only the
                                        # gradient rows (q=0,1) of the WLSQ
                                        # solve into the block operator, or

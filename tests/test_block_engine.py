@@ -223,6 +223,39 @@ def test_packed_forward_matches_vmapped(setup):
             err_msg=name)
 
 
+def test_packed_loss_grad_matches_vmapped(setup):
+    """Loss-GRADIENT equivalence for cfg.fv_packed under the real batched
+    training loss: the packed channel-major FV section must backprop the
+    same gradients as the vmapped integrator (same f32 math, different
+    physical layout). Guards the default-on packed path the way the
+    fused-vs-unfused test guards the Pallas kernels."""
+    cfg, pool, batch, static, dyn = setup
+    from gen_fvgn_tpu.training.forward import training_loss
+    from gen_fvgn_tpu.training.forward_block import forward_batch_block
+    from gen_fvgn_tpu.training.train_block import init_train_state_block
+
+    state, apply_fn = init_train_state_block(cfg, dyn, static, seed=0)
+
+    def loss_fn(params, packed):
+        out = forward_batch_block(apply_fn, params, state.norm_state,
+                                  dyn, static, cfg.replace(fv_packed=packed),
+                                  accumulate_normalizer=False)
+        return training_loss(out, cfg)
+
+    g_pk = jax.grad(lambda p: loss_fn(p, True))(state.params)
+    g_vm = jax.grad(lambda p: loss_fn(p, False))(state.params)
+    flat_pk, _ = jax.tree_util.tree_flatten_with_path(g_pk)
+    flat_vm, _ = jax.tree_util.tree_flatten_with_path(g_vm)
+    for (path, a), (_, b) in zip(flat_pk, flat_vm):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        denom = max(np.abs(b).max(), 1e-6)
+        # f32 reduction-order differences only (both paths are f32 FV
+        # math); layout/routing bugs would deviate at O(1)
+        np.testing.assert_allclose(
+            a / denom, b / denom, atol=2e-3,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
 def test_full_forward_matches(setup):
     cfg, pool, batch, static, dyn = setup
     from gen_fvgn_tpu.models import make_simulator
