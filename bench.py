@@ -73,7 +73,8 @@ def bench_case(case_dir: str, batch_size: int, n_steps: int, tile: int,
 
     cfg = Config(batch_size=batch_size, dataset_size=batch_size,
                  n_epochs=1000, mxu_dtype="bfloat16", tile=tile,
-                 fv_packed=os.environ.get("BENCH_FV_PACKED", "1") == "1")
+                 fv_packed=os.environ.get("BENCH_FV_PACKED", "1") == "1",
+                 fv_ell=os.environ.get("BENCH_FV_ELL", "0") == "1")
     t0 = time.time()
     # pad to 512 so every fused-MLP M dim hits the fast 512-row kernel tile
     # with zero pad copies (256-padding forces either pads or 256-row tiles,

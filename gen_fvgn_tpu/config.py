@@ -72,6 +72,31 @@ class Config:
                                        # solves/s, poly 8.1→8.36 steps/s.
                                        # Forward + loss-grad equivalence
                                        # tested vs the vmapped integrator.
+    fv_ell: bool = False               # block engine + fv_packed: apply
+                                       # the low-degree FV operators
+                                       # (n2c/n2f/c2n/flux, 2-12 nnz/row)
+                                       # through ELL k-take + fma tables
+                                       # instead of dense-tile matmuls.
+                                       # The dense blocks inflate these
+                                       # operators ~100× over their nnz
+                                       # and their slice-prefetch reads
+                                       # are the step's dominant HBM
+                                       # traffic (bytes budget); k
+                                       # row-takes of the packed operand
+                                       # read O(k·rows) bytes. WLSQ stays
+                                       # dense-tile (band-dense stencil).
+                                       # MEASURED AND KEPT OFF: −5.2
+                                       # GB/step logical traffic but ~0.5
+                                       # ms SLOWER (cavity b8 27.1→26.6
+                                       # steps/s, poly 8.35→8.09) — the
+                                       # dense blocks reads were fully
+                                       # prefetch-overlapped (free),
+                                       # while the ELL takes' gather
+                                       # throughput sits on the critical
+                                       # path. The controlled experiment
+                                       # also disproves the "bandwidth-
+                                       # saturated" roofline reading: see
+                                       # ROUND_NOTES.
     wlsq_block_rows: str = "grad"      # {"grad", "full"}: fold only the
                                        # gradient rows (q=0,1) of the WLSQ
                                        # solve into the block operator, or

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from gen_fvgn_tpu.fv.integrator import FVLosses
 from gen_fvgn_tpu.graph.packs import DynamicPack, StaticPack
-from gen_fvgn_tpu.ops.blocksparse import apply_linop
+from gen_fvgn_tpu.ops.blocksparse import apply_linop, apply_linop_ell
 from gen_fvgn_tpu.ops.segment import safe_sqrt
 
 
@@ -62,11 +62,19 @@ def integrate_residuals_block_packed(
     order: str = "2nd",
     conserved_form: bool = True,
     ncn_smooth: bool = True,
+    fv_ell: bool = False,
 ) -> Tuple[FVLosses, jnp.ndarray, jnp.ndarray]:
     """Packed twin of integrate_residuals_block: same signature/outputs
-    ([B, ...] batch-major in and out), FV math in channel-major lanes."""
+    ([B, ...] batch-major in and out), FV math in channel-major lanes.
+
+    fv_ell: apply the low-degree FV operators (n2c/n2f/c2n/flux) through
+    their ELL (k-take + fma) tables instead of the dense-tile matmuls —
+    same f32 math, O(k·rows) HBM bytes instead of the ~100x-inflated
+    blocks (the dominant traffic source once the operands are packed).
+    WLSQ always stays on the dense-tile path (band-dense stencil rows)."""
     ops = static.ops
     b, n_pad, _ = uvp_new.shape
+    ap = apply_linop_ell if fv_ell else apply_linop
 
     # pack the section inputs: [Np, 7B] with channels (u,v,p,uh,vh,uo,vo)
     collection = jnp.concatenate(
@@ -81,8 +89,8 @@ def integrate_residuals_block_packed(
     dt2 = _row(jnp.asarray(dyn.dt), 2)                 # [1, 2B]
 
     def interp(m0, mx, my, phi, gxx, gyy):
-        return apply_linop(m0, phi) + apply_linop(mx, gxx) \
-            + apply_linop(my, gyy)
+        return ap(m0, phi) + ap(mx, gxx) \
+            + ap(my, gyy)
 
     phi_cell = interp(ops.n2c_m0, ops.n2c_mx, ops.n2c_my,
                       collection, gx, gy)              # [Nc, 7B]
@@ -90,12 +98,12 @@ def integrate_residuals_block_packed(
     # ONE wide n2f_m0 apply for [phi5 | gx5 | gy5 | y] (operator tiles
     # read once — same trick as the vmapped integrator)
     y_cm = pack_cm(dyn.target_uv)                      # [Np, 2B]
-    face_m0 = apply_linop(
+    face_m0 = ap(
         ops.n2f_m0,
         jnp.concatenate([collection[:, : 5 * b], gx5, gy5, y_cm], axis=-1))
     phi_face = face_m0[:, : 5 * b] + \
-        apply_linop(ops.n2f_mx, gx5) + \
-        apply_linop(ops.n2f_my, gy5)                   # [E, 5B]
+        ap(ops.n2f_mx, gx5) + \
+        ap(ops.n2f_my, gy5)                   # [E, 5B]
     gx_face = face_m0[:, 5 * b: 10 * b]                # [E, 5B]
     gy_face = face_m0[:, 10 * b: 15 * b]
     y_face = face_m0[:, 15 * b: 17 * b]                # [E, 2B]
@@ -136,9 +144,9 @@ def integrate_residuals_block_packed(
         gp = gradp * p_face_new                        # [E, B]
         mx = jnp.concatenate([mx[:, : b] + gp, mx[:, b: 2 * b]], axis=-1)
         my = jnp.concatenate([my[:, : b], my[:, b: 2 * b] + gp], axis=-1)
-        fx = apply_linop(ops.flux_x, jnp.concatenate(
+        fx = ap(ops.flux_x, jnp.concatenate(
             [uv_face_new[:, : b], mx], axis=-1))       # [Nc, 3B]
-        fy = apply_linop(ops.flux_y, jnp.concatenate(
+        fy = ap(ops.flux_y, jnp.concatenate(
             [uv_face_new[:, b: 2 * b], my], axis=-1))
         cell_div = fx[:, : b] + fy[:, : b]             # [Nc, B]
         loss_cont = safe_sqrt(jnp.sum(cell_div ** 2, axis=0)) * theta[:, 1]
@@ -147,7 +155,7 @@ def integrate_residuals_block_packed(
         loss_mom_cell = _row(theta[:, 0], 2) * unsteady_cell + rhs
         loss_mom = pool2(loss_mom_cell) * dyn.sigma[:, 0:2].T   # [2, B]
     else:
-        g_cell = apply_linop(ops.n2c_m0,
+        g_cell = ap(ops.n2c_m0,
                              jnp.concatenate([gx5, gy5], axis=-1))
         gx_cell, gy_cell = g_cell[:, : 5 * b], g_cell[:, 5 * b:]
         uv_cell_hat = phi_cell[:, 3 * b: 5 * b]
@@ -164,8 +172,8 @@ def integrate_residuals_block_packed(
         grad_p_cell = gx_cell[:, 2 * b: 3 * b]
         grad_p_cell = jnp.concatenate(
             [grad_p_cell, gy_cell[:, 2 * b: 3 * b]], axis=-1) * cells_area
-        visc_cell = apply_linop(ops.flux_x, gx_uv_hat) + \
-            apply_linop(ops.flux_y, gy_uv_hat)
+        visc_cell = ap(ops.flux_x, gx_uv_hat) + \
+            ap(ops.flux_y, gy_uv_hat)
         loss_mom_cell = (_row(theta[:, 0], 2) * unsteady_cell
                          + conv2 * convection_cell
                          + _row(theta[:, 3], 2) * grad_p_cell
@@ -174,7 +182,7 @@ def integrate_residuals_block_packed(
         loss_mom = pool2(loss_mom_cell) * dyn.sigma[:, 0:2].T
 
     if ncn_smooth:
-        rt_uvp_cm = apply_linop(ops.c2n, uvp_cell_new)
+        rt_uvp_cm = ap(ops.c2n, uvp_cell_new)
     else:
         rt_uvp_cm = pack_cm(uvp_new)
 

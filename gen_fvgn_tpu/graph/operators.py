@@ -121,6 +121,18 @@ def _pad_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# ELL (k-take) tables are stored alongside the dense tiles for the
+# LOW-DEGREE f32 FV operators (edge_diff, n2c/n2f interpolation, c2n,
+# slot-flux): face-endpoint ops have 2 nnz/row, cell<->node transfers stay
+# under a node's incident-cell/edge count (<=~12 on unstructured meshes).
+# The lane-packed FV path (cfg.fv_ell) consumes them via apply_linop_ell;
+# any pathological mesh exceeding the cap silently falls back to the
+# dense-tile blocks per direction. WLSQ is excluded — its stencil rows
+# (~k-hop neighbourhood) are band-dense, which is what the dense-tile
+# engine exists for.
+_ELL_MAX_K = 16
+
+
 def build_mesh_operators(mesh: Dict[str, np.ndarray], order: str,
                          sizes, tile: int = 256,
                          model_ops_bf16: bool = True,
@@ -181,7 +193,8 @@ def build_mesh_operators(mesh: Dict[str, np.ndarray], order: str,
                      fwd_take=s_take)
     gr = build_linop(*gather_coo(r), e_pad, np_pad, tile, tile, dtype=mdt,
                      fwd_take=r_take)
-    ed = build_linop(*signed_diff_coo(face_node), e_pad, np_pad, tile, tile)
+    ed = build_linop(*signed_diff_coo(face_node), e_pad, np_pad, tile, tile,
+                     ell_max_k=_ELL_MAX_K)
     e_idx = np.arange(e)
     scat_r = build_linop(r, e_idx, np.ones(e, np.float32), np_pad, e_pad,
                          tile, tile, mdt)
@@ -226,26 +239,26 @@ def build_mesh_operators(mesh: Dict[str, np.ndarray], order: str,
     r_n2c = centroid[cells_index] - pos[cells_node]          # [Ck, 2]
     w0 = inv_cnt[cells_index]
     n2c_m0 = build_linop(cells_index, cells_node, w0.astype(np.float32),
-                         c_pad, np_pad, tile, tile)
+                         c_pad, np_pad, tile, tile, ell_max_k=_ELL_MAX_K)
     n2c_mx = build_linop(cells_index, cells_node,
                          (w0 * r_n2c[:, 0]).astype(np.float32),
-                         c_pad, np_pad, tile, tile)
+                         c_pad, np_pad, tile, tile, ell_max_k=_ELL_MAX_K)
     n2c_my = build_linop(cells_index, cells_node,
                          (w0 * r_n2c[:, 1]).astype(np.float32),
-                         c_pad, np_pad, tile, tile)
+                         c_pad, np_pad, tile, tile, ell_max_k=_ELL_MAX_K)
 
     e_both = np.concatenate([e_idx, e_idx])
     n_both = np.concatenate([s, r])
     r_n2f = np.concatenate([face_center - pos[s], face_center - pos[r]])
     half = np.full(2 * e, 0.5, np.float64)
     n2f_m0 = build_linop(e_both, n_both, half.astype(np.float32),
-                         e_pad, np_pad, tile, tile)
+                         e_pad, np_pad, tile, tile, ell_max_k=_ELL_MAX_K)
     n2f_mx = build_linop(e_both, n_both,
                          (half * r_n2f[:, 0]).astype(np.float32),
-                         e_pad, np_pad, tile, tile)
+                         e_pad, np_pad, tile, tile, ell_max_k=_ELL_MAX_K)
     n2f_my = build_linop(e_both, n_both,
                          (half * r_n2f[:, 1]).astype(np.float32),
-                         e_pad, np_pad, tile, tile)
+                         e_pad, np_pad, tile, tile, ell_max_k=_ELL_MAX_K)
 
     # cell→node inverse-distance, normalization folded into the values
     r_c2n = pos[cells_node] - centroid[cells_index]
@@ -254,16 +267,16 @@ def build_mesh_operators(mesh: Dict[str, np.ndarray], order: str,
     np.add.at(denom, cells_node, w)
     c2n_vals = (w / denom[cells_node]).astype(np.float32)
     c2n = build_linop(cells_node, cells_index, c2n_vals, np_pad, c_pad,
-                      tile, tile)
+                      tile, tile, ell_max_k=_ELL_MAX_K)
 
     # slot-flux accumulation [Nc←E] with surface-vector weights
     svec = slot_unv * face_area[cells_face][:, None]          # [Ck, 2]
     flux_x = build_linop(cells_index, cells_face,
                          svec[:, 0].astype(np.float32), c_pad, e_pad,
-                         tile, tile)
+                         tile, tile, ell_max_k=_ELL_MAX_K)
     flux_y = build_linop(cells_index, cells_face,
                          svec[:, 1].astype(np.float32), c_pad, e_pad,
-                         tile, tile)
+                         tile, tile, ell_max_k=_ELL_MAX_K)
 
     # static face data
     face_inflow = np.zeros((e_pad, 1), np.float32)

@@ -38,10 +38,23 @@ class BlockOp:
     takes win at >=256 bytes/row, e.g. h=128 bf16; block matmuls win for
     the narrow f32 FV operands). Padded output rows read row 0 and carry
     garbage instead of zero — only safe where downstream consumption is
-    structural (the model message-passing path)."""
+    structural (the model message-passing path).
+
+    ell_idx/ell_vals: optional ELL (padded-CSR) tables [n_out, k] for
+    LOW-DEGREE operators (k = max nnz/row, e.g. 2 for face-endpoint
+    interpolation, <=12 for node<-cell transfers). The dense-tile form
+    inflates such operators ~100x over their nnz, and the blocks reads
+    dominate the step's HBM traffic once the operands are lane-packed
+    (bytes budget: the f32 FV blocks are the single largest traffic
+    source). apply_linop_ell consumes these as k row-takes + fma —
+    O(k·n_out·row) traffic instead of O(blocks). Padded rows carry
+    idx 0 / val 0, so (unlike take_idx) ELL outputs are exactly zero in
+    padded rows."""
     blocks: jnp.ndarray    # [nTo, K, To, Ti] f32
     in_tile: jnp.ndarray   # [nTo, K] i32 — operand tile per slot (0-padded)
     take_idx: Optional[jnp.ndarray] = None   # [n_out] i32 row-gather indices
+    ell_idx: Optional[jnp.ndarray] = None    # [n_out, k] i32 (pad: 0)
+    ell_vals: Optional[jnp.ndarray] = None   # [n_out, k] f32 (pad: 0.0)
 
     @property
     def tile_out(self) -> int:
@@ -67,10 +80,35 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _build_ell_tables(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
+                      n_out: int, n_in: int, max_k: int):
+    """ELL tables (idx/vals [n_out, k]) from COO triplets, duplicates
+    accumulated. Returns (idx, vals) or None when any row exceeds max_k
+    nnz (the caller falls back to the dense-tile path)."""
+    key = np.asarray(rows, np.int64) * n_in + np.asarray(cols, np.int64)
+    uniq, inverse = np.unique(key, return_inverse=True)
+    acc = np.zeros(uniq.shape[0], np.float64)
+    np.add.at(acc, inverse, np.asarray(vals, np.float64))
+    r = (uniq // n_in).astype(np.int64)          # ascending (row-major key)
+    c = (uniq % n_in).astype(np.int64)
+    counts = np.bincount(r, minlength=n_out)
+    k = max(int(counts.max()) if counts.size else 0, 1)
+    if k > max_k:
+        return None
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    slot = np.arange(r.shape[0]) - starts[r]
+    idx = np.zeros((n_out, k), np.int32)
+    val = np.zeros((n_out, k), np.float32)
+    idx[r, slot] = c.astype(np.int32)
+    val[r, slot] = acc.astype(np.float32)
+    return idx, val
+
+
 def build_block_op(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
                    n_out: int, n_in: int, tile_out: int = 256,
                    tile_in: int = 256, dtype=np.float32,
-                   take_idx: Optional[np.ndarray] = None) -> BlockOp:
+                   take_idx: Optional[np.ndarray] = None,
+                   ell_max_k: Optional[int] = None) -> BlockOp:
     """Assemble dense tiles from COO triplets (duplicates accumulate).
 
     n_out / n_in are the PADDED sizes (must be multiples of the tiles).
@@ -109,22 +147,33 @@ def build_block_op(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
         slot[i] += 1
     ti = None if take_idx is None else jnp.asarray(
         np.asarray(take_idx, np.int32))
+    ell = (None if ell_max_k is None
+           else _build_ell_tables(rows, cols, vals, n_out, n_in, ell_max_k))
     return BlockOp(blocks=jnp.asarray(blocks), in_tile=jnp.asarray(in_tile),
-                   take_idx=ti)
+                   take_idx=ti,
+                   ell_idx=None if ell is None else jnp.asarray(ell[0]),
+                   ell_vals=None if ell is None else jnp.asarray(ell[1]))
 
 
 def build_linop(rows, cols, vals, n_out: int, n_in: int,
                 tile_out: int = 256, tile_in: int = 256,
                 dtype=np.float32,
-                fwd_take: Optional[np.ndarray] = None) -> LinOp:
+                fwd_take: Optional[np.ndarray] = None,
+                ell_max_k: Optional[int] = None) -> LinOp:
     """fwd_take: explicit row-gather indices [n_out] (pad rows 0) enabling
     the jnp.take fast path on the forward direction; the backward stays a
-    block matmul (XLA scatter is the thing this engine exists to avoid)."""
+    block matmul (XLA scatter is the thing this engine exists to avoid).
+
+    ell_max_k: also store ELL (k-take) tables on both directions when no
+    row exceeds ell_max_k nnz — consumed by apply_linop_ell on lane-packed
+    operands where k row-takes cost far fewer HBM bytes than the dense
+    blocks (the ELL "scatter" direction is the transpose's ELL, so the
+    backward stays gather-only too)."""
     return LinOp(
         fwd=build_block_op(rows, cols, vals, n_out, n_in, tile_out, tile_in,
-                           dtype, take_idx=fwd_take),
+                           dtype, take_idx=fwd_take, ell_max_k=ell_max_k),
         bwd=build_block_op(cols, rows, vals, n_in, n_out, tile_in, tile_out,
-                           dtype),
+                           dtype, ell_max_k=ell_max_k),
     )
 
 
@@ -218,6 +267,43 @@ def _apply_bwd(op, g):
 
 
 apply_linop.defvjp(_apply_fwd, _apply_bwd)
+
+
+def _apply_ell_or_block(op: BlockOp, x: jnp.ndarray) -> jnp.ndarray:
+    """ELL apply (k row-takes + fma) when tables exist, else the dense-tile
+    path. 2-D [n_in, L] operands only — the callers are the whole-batch
+    lane-packed FV paths (cfg.fv_packed), never a vmapped per-sample body
+    (vmapped gathers re-trigger the batch>8 serialization cliff)."""
+    if op.ell_idx is None:
+        return _apply_block_op(op, x)
+    out = op.ell_vals[:, 0:1] * jnp.take(x, op.ell_idx[:, 0], axis=0)
+    for j in range(1, op.ell_idx.shape[1]):
+        out = out + op.ell_vals[:, j:j + 1] * jnp.take(
+            x, op.ell_idx[:, j], axis=0)
+    return out
+
+
+@jax.custom_vjp
+def apply_linop_ell(op: LinOp, x: jnp.ndarray) -> jnp.ndarray:
+    """out = A @ x preferring the ELL (k-take) form on BOTH directions.
+
+    For low-degree f32 FV operators on lane-packed [n_in, C·B] operands
+    the dense-tile blocks are the dominant HBM traffic (~100x-inflated
+    over the nnz); k row-takes of the packed operand + fma read O(k·rows)
+    instead. Falls back per-direction to the block matmul when ELL tables
+    are absent (rows exceeded ell_max_k at build time)."""
+    return _apply_ell_or_block(op.fwd, x)
+
+
+def _apply_ell_fwd(op, x):
+    return _apply_ell_or_block(op.fwd, x), op
+
+
+def _apply_ell_bwd(op, g):
+    return None, _apply_ell_or_block(op.bwd, g)
+
+
+apply_linop_ell.defvjp(_apply_ell_fwd, _apply_ell_bwd)
 
 
 def apply_linop_multi(op: LinOp, x: jnp.ndarray) -> jnp.ndarray:

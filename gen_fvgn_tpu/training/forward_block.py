@@ -80,7 +80,8 @@ def forward_batch_block(
         losses, rt_uvp, uvp_cell = integrate_residuals_block_packed(
             uvp_new, uv_hat, uv_old, dyn, static,
             order=cfg.order, conserved_form=cfg.conserved_form,
-            ncn_smooth=cfg.ncn_smooth)
+            ncn_smooth=cfg.ncn_smooth,
+            fv_ell=getattr(cfg, "fv_ell", False))
         rt_uvp = enforce_boundary_conditions(rt_uvp, static.node_type,
                                              dyn.target_uv)
         scale = (dyn.uvp_dim * dyn.sigma)[:, None, :]          # [B,1,3]

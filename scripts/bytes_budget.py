@@ -1,15 +1,19 @@
 """Bytes-per-step budget of the block train step vs the HBM roofline.
 
-Round-2 verdict #2 done-condition: either vs_baseline >= 4, or a committed
-bytes-budget table showing the remaining step time is at the bandwidth
-roofline. The h=128 graph net is HBM-bound (ROUND_NOTES: sustained HBM
-bandwidth ~420 GB/s measured on the bench chip), so the proof is traffic
-accounting: walk the OPTIMIZED (post-fusion) HLO of the jitted step and sum
-every top-level instruction's operand + result buffer bytes — each fusion
-reads its inputs from HBM and writes its outputs once, so this sum IS the
-step's HBM traffic (up to producer/consumer locality XLA may exploit).
+Walks the OPTIMIZED (post-fusion) HLO of the jitted step and sums every
+top-level instruction's operand + result buffer bytes — each fusion reads
+its inputs from HBM and writes its outputs once, so this sum is the step's
+logical HBM traffic (up to producer/consumer locality XLA may exploit).
 Dividing by the measured step time gives the achieved aggregate bandwidth;
 the table attributes the traffic to source lines via HLO metadata.
+
+CAVEAT (learned the hard way, round 3): aggregate traffic over the
+~420 GB/s sustained roofline is a LOWER BOUND on step time, not a
+saturation proof. The cfg.fv_ell controlled experiment removed 42% of
+this traffic (the FV operator blocks) and the step got slightly SLOWER:
+constant-operand streams are prefetch-overlapped behind compute (free),
+and the critical path is per-kernel achieved bandwidth plus serialized
+gather chains. Use the table to find what moves, then measure the move.
 
 Usage: python scripts/bytes_budget.py [--batch 8] [--json OUT]
 """
@@ -173,6 +177,9 @@ def main(argv=None):
     ap.add_argument("--hlo-file", default=None,
                     help="offline mode: parse a saved optimized-HLO dump "
                     "instead of compiling (pair with --ms)")
+    ap.add_argument("--dump-hlo", default=None,
+                    help="save the optimized HLO text here for offline "
+                    "analysis (e.g. async-DMA shape breakdowns)")
     ap.add_argument("--ms", type=float, default=None,
                     help="measured ms/step to pair with --hlo-file")
     args = ap.parse_args(argv)
@@ -190,7 +197,8 @@ def main(argv=None):
                                                    make_train_step_block)
 
     cfg = Config(batch_size=args.batch, dataset_size=args.batch,
-                 n_epochs=1000, mxu_dtype="bfloat16", tile=256)
+                 n_epochs=1000, mxu_dtype="bfloat16", tile=256,
+                 fv_ell=os.environ.get("FV_ELL", "0") == "1")
     pool = EnvPool([CASE], cfg, seed=0, pad_multiple=512, engine="block",
                    tile=256)
     static = pool.statics[0]
@@ -200,6 +208,9 @@ def main(argv=None):
 
     compiled = step.lower(state, dyn, static).compile()
     hlo = compiled.as_text()
+    if args.dump_hlo:
+        with open(args.dump_hlo, "w") as f:
+            f.write(hlo)
 
     # measured step time (queue-drained python loop)
     s = state
@@ -238,13 +249,18 @@ def _report(hlo: str, ms: float, args) -> None:
           f"-> {achieved_gbs:.0f} GB/s = {pct:.0f}% of the "
           f"{args.roofline_gbs:.0f} GB/s measured sustained roofline")
     print(f"# measured step time:   {ms:.2f} ms  (batch {args.batch})")
-    print("# Reading: ~100% means the step is bandwidth-saturated (the "
-          "model slightly")
-    print("# overcounts operands XLA keeps in registers across fused "
-          "consumers, and the")
-    print("# hardware loses some sustained BW to random-access gathers — "
-          "both push the")
-    print("# true ratio toward 100% from either side).")
+    print("# Reading: aggregate traffic vs roofline BOUNDS the step from "
+          "below but does")
+    print("# NOT prove bandwidth saturation: a controlled experiment "
+          "(cfg.fv_ell) removed")
+    print("# 42% of the logical traffic (the FV operator blocks) and the "
+          "step got ~1.5%")
+    print("# SLOWER — constant-operand streams are prefetch-overlapped "
+          "(free), and the")
+    print("# critical path is per-kernel achieved bandwidth + serialized "
+          "gather chains,")
+    print("# not aggregate bytes. Use the table to find WHAT moves, then "
+          "measure.")
     print("#")
     print("# The physical column is a PER-LINE diagnostic only (assumes "
           "default layouts;")
@@ -267,11 +283,14 @@ def _report(hlo: str, ms: float, args) -> None:
                 "pct_of_roofline": round(pct, 1),
                 "roofline_gbs": args.roofline_gbs,
                 "reading": "logical read+write traffic of the post-fusion "
-                           "HLO; ~100% of the measured sustained roofline "
-                           "= the step is bandwidth-saturated. The "
-                           "physical column is a per-line lane-padding "
-                           "diagnostic (upper bound, default-layout "
-                           "assumption) — not summable.",
+                           "HLO — a lower BOUND on step time, not proof "
+                           "of saturation: the cfg.fv_ell experiment cut "
+                           "42% of this traffic with ~0 speedup (constant "
+                           "streams are prefetch-overlapped; the critical "
+                           "path is per-kernel achieved BW + serialized "
+                           "gathers). The physical column is a per-line "
+                           "lane-padding diagnostic (upper bound, "
+                           "default-layout assumption) — not summable.",
                 "n_entry_instructions": len(rows),
                 "top_sources_gb": [
                     {"src": ssrc, "logical_gb": round(b / 1e9, 4),

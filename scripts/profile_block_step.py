@@ -31,7 +31,8 @@ def main():
                                                    make_train_step_block)
 
     cfg = Config(batch_size=8, dataset_size=8, n_epochs=1000,
-                 mxu_dtype="bfloat16", tile=256)
+                 mxu_dtype="bfloat16", tile=256,
+                 fv_ell=os.environ.get("FV_ELL", "0") == "1")
     pool = EnvPool([CASE], cfg, seed=0, pad_multiple=256, engine="block",
                    tile=256)
     static = pool.statics[0]

@@ -256,6 +256,72 @@ def test_packed_loss_grad_matches_vmapped(setup):
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
 
 
+def test_ell_tables_and_apply_match_dense():
+    """ELL (k-take) tables: built iff every row stays under the cap, and
+    apply_linop_ell matches the dense path + its transpose in both
+    directions (including accumulated duplicate COO entries and exact
+    zeros in padded rows, where the dense path also emits zeros)."""
+    from gen_fvgn_tpu.ops.blocksparse import apply_linop_ell
+    rng = np.random.default_rng(1)
+    rows = rng.integers(0, 500, size=900)   # rows 500..511 stay padded
+    cols = rng.integers(0, 512, size=900)
+    vals = rng.normal(size=900).astype(np.float32)
+    op = build_linop(rows, cols, vals, 512, 512, 256, 256, ell_max_k=16)
+    assert op.fwd.ell_idx is not None and op.bwd.ell_idx is not None
+    x = rng.normal(size=(512, 16)).astype(np.float32)
+    dense = np.zeros((512, 512), np.float32)
+    np.add.at(dense, (rows, cols), vals)
+    out = np.asarray(apply_linop_ell(op, x))
+    np.testing.assert_allclose(out, dense @ x, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(out[500:], 0.0)
+    g = rng.normal(size=(512, 16)).astype(np.float32)
+    _, vjp = jax.vjp(lambda x: apply_linop_ell(op, x), x)
+    np.testing.assert_allclose(np.asarray(vjp(g)[0]), dense.T @ g,
+                               rtol=1e-4, atol=1e-4)
+    # cap exceeded -> no tables, apply falls back to the dense path
+    hub = build_linop(np.zeros(64, np.int64), np.arange(64), np.ones(64),
+                      512, 512, 256, 256, ell_max_k=16)
+    assert hub.fwd.ell_idx is None
+    np.testing.assert_allclose(np.asarray(apply_linop_ell(hub, x)),
+                               np.asarray(apply_linop(hub, x)))
+
+
+def test_fv_ell_loss_grad_matches_dense(setup):
+    """cfg.fv_ell (ELL k-take FV operators on the packed path) must produce
+    the same training loss AND parameter gradients as the dense-tile
+    operators — same f32 math, different operator representation."""
+    cfg, pool, batch, static, dyn = setup
+    from gen_fvgn_tpu.training.forward import training_loss
+    from gen_fvgn_tpu.training.forward_block import forward_batch_block
+    from gen_fvgn_tpu.training.train_block import init_train_state_block
+
+    for name in ("edge_diff", "n2f_m0", "n2c_m0", "c2n", "flux_x"):
+        bop = getattr(static.ops, name)
+        assert bop.fwd.ell_idx is not None, name
+        assert bop.bwd.ell_idx is not None, name
+
+    state, apply_fn = init_train_state_block(cfg, dyn, static, seed=0)
+
+    def loss_fn(params, ell):
+        out = forward_batch_block(
+            apply_fn, params, state.norm_state, dyn, static,
+            cfg.replace(fv_packed=True, fv_ell=ell),
+            accumulate_normalizer=False)
+        return training_loss(out, cfg)
+
+    l_ell, g_ell = jax.value_and_grad(lambda p: loss_fn(p, True))(state.params)
+    l_dn, g_dn = jax.value_and_grad(lambda p: loss_fn(p, False))(state.params)
+    np.testing.assert_allclose(float(l_ell), float(l_dn), rtol=1e-5)
+    flat_e, _ = jax.tree_util.tree_flatten_with_path(g_ell)
+    flat_d, _ = jax.tree_util.tree_flatten_with_path(g_dn)
+    for (path, a), (_, b) in zip(flat_e, flat_d):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        denom = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(
+            a / denom, b / denom, atol=2e-3,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
 def test_full_forward_matches(setup):
     cfg, pool, batch, static, dyn = setup
     from gen_fvgn_tpu.models import make_simulator
