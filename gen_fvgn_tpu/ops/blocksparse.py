@@ -189,6 +189,51 @@ def use_pallas_spmm(enabled: bool = True) -> None:
     _USE_PALLAS = enabled
 
 
+import functools as _functools
+
+import jax.custom_batching as _custom_batching
+
+
+@_functools.lru_cache(maxsize=None)
+def _make_spmm_vmappable(out_dtype_name: str, interpret: bool):
+    """Pallas spmm with a custom vmap rule.
+
+    The model message-passing path runs per-sample under jax.vmap; a naive
+    vmap of the streaming kernel prepends the batch to the GRID (outermost),
+    which re-reads the whole operator-block panel from HBM once per batch
+    lane — measured SLOWER than the XLA gather+einsum (blocks dominate the
+    traffic: adj is ~16 MB vs a 21.5 MB operand). The custom rule instead
+    routes the batched call to pallas_block_spmm_binner, whose grid is
+    (nTo, B) with the batch INNERMOST: the block panel stays resident in
+    VMEM across the B inner steps (Pallas skips re-fetch when the block
+    index is unchanged), so it streams from HBM exactly once per row-tile."""
+    import jax.numpy as _jnp
+
+    out_dtype = _jnp.dtype(out_dtype_name)
+
+    from gen_fvgn_tpu.ops.pallas_spmm import (pallas_block_spmm,
+                                              pallas_block_spmm_binner)
+
+    @_custom_batching.custom_vmap
+    def spmm(blocks, in_tile, x):
+        return pallas_block_spmm(blocks, in_tile, x, out_dtype=out_dtype,
+                                 interpret=interpret)
+
+    @spmm.def_vmap
+    def _rule(axis_size, in_batched, blocks, in_tile, x):
+        del axis_size
+        b_b, t_b, x_b = in_batched
+        if b_b or t_b or not x_b:
+            raise NotImplementedError(
+                "pallas spmm vmap expects shared operator, batched operand")
+        out = pallas_block_spmm_binner(blocks, in_tile, x,
+                                       out_dtype=out_dtype,
+                                       interpret=interpret)
+        return out, True
+
+    return spmm
+
+
 def _out_dtype(op: BlockOp, x: jnp.ndarray):
     """bf16 operand AND bf16 operator (the model message-passing path):
     emit bf16 — the step is HBM-bound and the f32 output doubles the bytes
@@ -219,6 +264,12 @@ def _apply_block_op(op: BlockOp, x: jnp.ndarray) -> jnp.ndarray:
             idx = (jnp.arange(b, dtype=jnp.int32)[:, None] * n_in
                    + op.take_idx[None, :]).reshape(-1)
             return jnp.take(xf, idx, axis=0).reshape(b, op.n_out, f)
+        if _USE_PALLAS and f % 128 == 0:
+            from gen_fvgn_tpu.ops.pallas_spmm import pallas_block_spmm_binner
+            xin = (x.astype(jnp.bfloat16)
+                   if op.blocks.dtype == jnp.bfloat16 else x)
+            return pallas_block_spmm_binner(op.blocks, op.in_tile, xin,
+                                            out_dtype=_out_dtype(op, x))
         n_ti = n_in // op.tile_in
         xt = x.reshape(b * n_ti, op.tile_in, f)
         if op.blocks.dtype == jnp.bfloat16:
@@ -237,10 +288,13 @@ def _apply_block_op(op: BlockOp, x: jnp.ndarray) -> jnp.ndarray:
         # full precision through the gather
         return jnp.take(x, op.take_idx, axis=0)
     if _USE_PALLAS and x.ndim == 2 and x.shape[1] % 128 == 0:
-        from gen_fvgn_tpu.ops.pallas_spmm import pallas_block_spmm
+        # custom-vmap wrapped: under the per-sample jax.vmap this routes to
+        # the batch-inner streaming kernel (operator panel read once per
+        # row-tile); un-vmapped it is the plain (nTo, K) streaming kernel
         xin = x.astype(jnp.bfloat16) if op.blocks.dtype == jnp.bfloat16 else x
-        return pallas_block_spmm(op.blocks, op.in_tile, xin,
-                                 out_dtype=_out_dtype(op, x))
+        fn = _make_spmm_vmappable(jnp.dtype(_out_dtype(op, x)).name,
+                                  jax.default_backend() != "tpu")
+        return fn(op.blocks, op.in_tile, xin)
     n_ti = x.shape[0] // op.tile_in
     xt = x.reshape(n_ti, op.tile_in, -1)
     if op.blocks.dtype == jnp.bfloat16:

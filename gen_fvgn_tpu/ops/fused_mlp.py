@@ -218,11 +218,23 @@ def _const_spec(shape):
     return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
 
 
+# Candidate M-tiles, largest first. 1024 halves the per-tile partial
+# weight-grad arrays the backward writes + the outside reduce re-reads
+# (they scale 1/TILE_M); VMEM still fits (~7 MB peak in the backward).
+_TILE_M_CANDIDATES = (512, 256, 128)
+
+
+def set_tile_m_candidates(cands) -> None:
+    """Override the M-tile preference order (perf experiments)."""
+    global _TILE_M_CANDIDATES
+    _TILE_M_CANDIDATES = tuple(cands)
+
+
 def _pick_tile_m(m: int) -> int:
     """Largest supported M-tile that divides m — avoids materialized pad
     copies around every kernel call (measured ~10 ms/step on the bench
     workload when TILE_M forced 512-padding of 256-aligned arrays)."""
-    for t in (512, 256, 128):
+    for t in _TILE_M_CANDIDATES:
         if m % t == 0:
             return t
     return TILE_M

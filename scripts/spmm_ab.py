@@ -1,0 +1,73 @@
+"""A/B the real block-engine train step: XLA gather+einsum applies vs the
+Pallas streaming-spmm apply path (use_pallas_spmm), same process."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+CASE = ("/root/reference/mesh_example/lid_driven_cavity/"
+        "lid_driven_cavity_101x101-Re=100")
+
+
+def time_step(step, state, dyn, static, n=30):
+    import jax
+    state2, metrics, _ = step(state, dyn, static)
+    _ = float(metrics.loss)
+    for _ in range(3):
+        state2, metrics, _ = step(state2, dyn, static)
+    _ = float(metrics.loss)
+    t0 = time.time()
+    for _ in range(n):
+        state2, metrics, _ = step(state2, dyn, static)
+    _ = float(metrics.loss)
+    return (time.time() - t0) / n * 1e3
+
+
+def main():
+    from gen_fvgn_tpu.utils.jax_setup import setup_cache
+    setup_cache()
+    import jax
+    from gen_fvgn_tpu.config import Config
+    from gen_fvgn_tpu.ops import blocksparse as bs
+    from gen_fvgn_tpu.training.pool import EnvPool
+    from gen_fvgn_tpu.training.train_block import (init_train_state_block,
+                                                   make_train_step_block)
+
+    cfg = Config(batch_size=8, dataset_size=8, n_epochs=1000,
+                 mxu_dtype="bfloat16", tile=256)
+    pool = EnvPool([CASE], cfg, seed=0, pad_multiple=256, engine="block",
+                   tile=256)
+    static = pool.statics[0]
+    dyn = pool.gather_block(np.arange(8))
+    state, apply_fn = init_train_state_block(cfg, dyn, static, seed=0)
+
+    from gen_fvgn_tpu.ops import fused_mlp as fm
+
+    variants = (
+        ("base", False, (512, 256, 128)),
+        ("pallas", True, (512, 256, 128)),
+        ("tile1k", False, (1024, 512, 256, 128)),
+        ("pl+1k", True, (1024, 512, 256, 128)),
+        ("base2", False, (512, 256, 128)),
+        ("pl+1k2", True, (1024, 512, 256, 128)),
+    )
+    only = os.environ.get("AB_ONLY")
+    for name, flag, cands in variants:
+        if only and only not in name:
+            continue
+        bs.use_pallas_spmm(flag)
+        fm.set_tile_m_candidates(cands)
+        step = make_train_step_block(cfg, apply_fn, donate=False)
+        ms = time_step(step, state, dyn, static)
+        print(f"{name:8s}: {ms:7.2f} ms/step  ({1e3 / ms:.2f} steps/s)",
+              flush=True)
+    bs.use_pallas_spmm(False)
+    fm.set_tile_m_candidates((512, 256, 128))
+
+
+if __name__ == "__main__":
+    main()

@@ -434,3 +434,52 @@ def test_forward_block_padding_value_invariance(setup):
     np.testing.assert_allclose(
         np.asarray(out0.uvp_node_new)[:, mask],
         np.asarray(out1.uvp_node_new)[:, mask], rtol=1e-6, atol=1e-7)
+
+
+def test_block_loss_grad_pallas_spmm_vs_einsum():
+    """Loss-gradient equivalence of the Pallas streaming-spmm apply path
+    (use_pallas_spmm, custom-vmap batched kernel) vs the XLA gather+einsum
+    path, on the real batched bf16 training loss. Runs the kernels in
+    interpret mode on CPU; the same dispatch runs compiled on TPU."""
+    from gen_fvgn_tpu.ops import blocksparse as bs
+    from gen_fvgn_tpu.training.forward import training_loss
+    from gen_fvgn_tpu.training.forward_block import forward_batch_block
+    from gen_fvgn_tpu.training.train_block import init_train_state_block
+
+    cfg = Config(batch_size=2, dataset_size=2, mxu_dtype="bfloat16",
+                 hidden_size=128, message_passing_num=1, slice_num=8,
+                 attn_heads=4)
+    raw = rcm_reorder({k: v for k, v in cavity_quad_mesh(6).items()})
+    mesh = compile_mesh(raw)
+    case = synthetic_case(mesh, continuity=1, convection=1, grad_p=1,
+                          mu=0.05, sigma=(1, 1, 1))
+    pool = EnvPool([], cfg, seed=0, pad_multiple=256, cases=[case],
+                   engine="block")
+    static = pool.statics[0]
+    dyn = pool.gather_block(np.asarray([0, 1]))
+    state, apply_fn = init_train_state_block(cfg, dyn, static, seed=0)
+
+    def loss_and_grad(params):
+        def loss_fn(p):
+            out = forward_batch_block(apply_fn, p, state.norm_state,
+                                      dyn, static, cfg,
+                                      accumulate_normalizer=False)
+            return training_loss(out, cfg)
+        return jax.value_and_grad(loss_fn)(params)
+
+    try:
+        bs.use_pallas_spmm(True)
+        l_pl, g_pl = loss_and_grad(state.params)
+    finally:
+        bs.use_pallas_spmm(False)
+    l_ein, g_ein = loss_and_grad(state.params)
+
+    np.testing.assert_allclose(float(l_pl), float(l_ein), rtol=2e-2)
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(g_pl)
+    flat_e, _ = jax.tree_util.tree_flatten_with_path(g_ein)
+    for (path, a), (_, b) in zip(flat_p, flat_e):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        denom = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(
+            a / denom, b / denom, atol=1e-1,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")

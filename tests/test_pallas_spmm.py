@@ -24,6 +24,25 @@ def test_pallas_spmm_matches_einsum():
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_pallas_spmm_batched_variants_match_einsum():
+    from gen_fvgn_tpu.ops.pallas_spmm import (pallas_block_spmm_batched,
+                                              pallas_block_spmm_binner)
+    rng = np.random.default_rng(2)
+    b, n_to, k, t, f = 3, 4, 3, 128, 128
+    n_ti = 6
+    blocks = rng.normal(size=(n_to, k, t, t)).astype(np.float32)
+    in_tile = rng.integers(0, n_ti, size=(n_to, k)).astype(np.int32)
+    x = rng.normal(size=(b, n_ti * t, f)).astype(np.float32)
+
+    xt = x.reshape(b, n_ti, t, f)
+    ref = np.einsum("nkab,Bnkbf->Bnaf", blocks,
+                    xt[:, in_tile]).reshape(b, n_to * t, f)
+    for fn in (pallas_block_spmm_batched, pallas_block_spmm_binner):
+        out = np.asarray(fn(jnp.asarray(blocks), jnp.asarray(in_tile),
+                            jnp.asarray(x), interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
 def test_pallas_spmm_matches_linop_apply():
     from gen_fvgn_tpu.ops.blocksparse import build_block_op, _apply_block_op
     from gen_fvgn_tpu.ops.pallas_spmm import pallas_block_spmm
