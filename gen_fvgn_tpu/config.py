@@ -103,6 +103,17 @@ class Config:
                                        # all k rows (Hessians — needed for
                                        # LSFD on the block engine; ~k/2×
                                        # the wlsq operator traffic)
+    node_agg: str = "split"            # block engine NodeBlock aggregation:
+                                       # "split" (lane-split halves, two
+                                       # 64-lane scats, then adj),
+                                       # "wide" (two 128-lane scats on the
+                                       # full edge stream, N-side slice+add,
+                                       # then adj), or "composed" (the
+                                       # adj@scat products are precomputed
+                                       # per mesh — one wide apply per half,
+                                       # no intermediate agg stream). Same
+                                       # math; layout/traffic tradeoffs are
+                                       # measured per workload.
     microbatch: int = 8                # block engine: PER-DEVICE chunk
                                        # size — batches above
                                        # microbatch×dp_devices run as

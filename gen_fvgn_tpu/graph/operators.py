@@ -113,6 +113,13 @@ class MeshOperators:
     face_inflow: jnp.ndarray   # [E, 1] 1.0 on INFLOW faces
     face_wall: jnp.ndarray     # [E, 1] 1.0 on WALL faces
     s_out: jnp.ndarray         # [E, 2] outward surface vector on OUTFLOW faces
+    # optional composed NodeBlock aggregation operators (cfg.node_agg
+    # "composed"): nbr_r = adj @ scat_r, nbr_s = adj @ scat_s [N←E] — the
+    # two-hop edge→half-scatter→neighbour-sum chain collapses to one wide
+    # (128-lane) apply per half; the intermediate agg stream, the lane
+    # split, and the 64-lane adj apply all vanish
+    nbr_r: LinOp = None
+    nbr_s: LinOp = None
     # number of folded WLSQ derivative rows per node (static metadata)
     wlsq_n_q: int = struct.field(pytree_node=False, default=2)
 
@@ -136,7 +143,8 @@ _ELL_MAX_K = 16
 def build_mesh_operators(mesh: Dict[str, np.ndarray], order: str,
                          sizes, tile: int = 256,
                          model_ops_bf16: bool = True,
-                         wlsq_rows: str = "grad") -> MeshOperators:
+                         wlsq_rows: str = "grad",
+                         node_agg: str = "split") -> MeshOperators:
     """Build all operators for ONE compiled+prepared mesh (with stencil and
     WLSQ statics attached), padded to `sizes` (PadSizes).
 
@@ -200,6 +208,24 @@ def build_mesh_operators(mesh: Dict[str, np.ndarray], order: str,
                          tile, tile, mdt)
     scat_s = build_linop(s, e_idx, np.ones(e, np.float32), np_pad, e_pad,
                          tile, tile, mdt)
+
+    nbr_r = nbr_s = None
+    if node_agg == "composed":
+        # nbr_r = adj @ scat_r, nbr_s = adj @ scat_s — composed on the host
+        # as sparse products. Entries are path counts (small integers),
+        # exactly representable in bf16.
+        import scipy.sparse as sp
+        A = sp.csr_matrix((np.ones(2 * e, np.float64), (rows, cols)),
+                          shape=(n, n))
+        Sr = sp.csr_matrix((np.ones(e, np.float64), (r, e_idx)),
+                           shape=(n, e))
+        Ss = sp.csr_matrix((np.ones(e, np.float64), (s, e_idx)),
+                           shape=(n, e))
+        Cr, Cs = (A @ Sr).tocoo(), (A @ Ss).tocoo()
+        nbr_r = build_linop(Cr.row, Cr.col, Cr.data, np_pad, e_pad,
+                            tile, tile, mdt)
+        nbr_s = build_linop(Cs.row, Cs.col, Cs.data, np_pad, e_pad,
+                            tile, tile, mdt)
 
     # ---- folded WLSQ operator ----
     stencil = mesh["stencil"].astype(np.int64)
@@ -296,5 +322,6 @@ def build_mesh_operators(mesh: Dict[str, np.ndarray], order: str,
         face_inflow=jnp.asarray(face_inflow),
         face_wall=jnp.asarray(face_wall),
         s_out=jnp.asarray(s_out),
+        nbr_r=nbr_r, nbr_s=nbr_s,
         wlsq_n_q=n_q,
     )

@@ -42,9 +42,10 @@ class DynamicPack:
 
 def build_static_pack(mesh: Dict[str, np.ndarray], order: str, sizes,
                       tile: int = 256,
-                      wlsq_rows: str = "grad") -> StaticPack:
+                      wlsq_rows: str = "grad",
+                      node_agg: str = "split") -> StaticPack:
     ops = build_mesh_operators(mesh, order, sizes, tile,
-                               wlsq_rows=wlsq_rows)
+                               wlsq_rows=wlsq_rows, node_agg=node_agg)
     f32 = np.float32
     n = mesh["node|pos"].shape[0]
     e = mesh["face|face_node"].shape[1]

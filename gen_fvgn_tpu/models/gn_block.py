@@ -44,14 +44,33 @@ class EdgeBlockB(nn.Module):
 class NodeBlockB(nn.Module):
     hidden_size: int
     dtype: Optional[jnp.dtype] = None
+    # NodeBlock aggregation formulation (cfg.node_agg): identical math,
+    # different operator/layout structure — see config.py
+    node_agg: str = "split"
 
     @nn.compact
     def __call__(self, node_x, edge_attr, static: StaticPack):
         ops = static.ops
-        half_a, half_b = jnp.split(edge_attr, 2, axis=-1)
-        agg = apply_linop(ops.scat_r, half_a) + \
-            apply_linop(ops.scat_s, half_b)              # [N, h/2]
-        nbr_sum = apply_linop(ops.adj, agg)
+        h2 = self.hidden_size // 2
+        if self.node_agg == "composed":
+            # one wide apply per half with the precomputed adj@scat
+            # operators; the half selection moves to cheap node-side lane
+            # slices (the [E, h/2] agg stream and its relayouts vanish)
+            t = apply_linop(ops.nbr_r, edge_attr)        # [N, h]
+            u = apply_linop(ops.nbr_s, edge_attr)
+            nbr_sum = t[..., :h2] + u[..., h2:]
+        elif self.node_agg == "wide":
+            # full-width scats (128-lane operands stay in their layout),
+            # half selection via node-side lane slices, then adj
+            t = apply_linop(ops.scat_r, edge_attr)       # [N, h]
+            u = apply_linop(ops.scat_s, edge_attr)
+            agg = t[..., :h2] + u[..., h2:]
+            nbr_sum = apply_linop(ops.adj, agg)
+        else:
+            half_a, half_b = jnp.split(edge_attr, 2, axis=-1)
+            agg = apply_linop(ops.scat_r, half_a) + \
+                apply_linop(ops.scat_s, half_b)          # [N, h/2]
+            nbr_sum = apply_linop(ops.adj, agg)
         # keep the bf16 stream bf16: an f32 promotion here doubles the
         # bytes of a bandwidth-bound tensor. deg [N,1] broadcasts against
         # both [N, h] and batch-major [B, N, h] streams.
@@ -66,12 +85,13 @@ class NodeBlockB(nn.Module):
 class GnBlockB(nn.Module):
     hidden_size: int
     dtype: Optional[jnp.dtype] = None
+    node_agg: str = "split"
 
     @nn.compact
     def __call__(self, node_x, edge_attr, static: StaticPack):
         edge_new, edge_stream = EdgeBlockB(
             self.hidden_size, self.dtype,
             name="edge_block")(node_x, edge_attr, static)
-        node_stream = NodeBlockB(self.hidden_size, self.dtype,
+        node_stream = NodeBlockB(self.hidden_size, self.dtype, self.node_agg,
                                  name="node_block")(node_x, edge_new, static)
         return node_stream, edge_stream

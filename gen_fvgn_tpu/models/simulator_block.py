@@ -21,12 +21,14 @@ class AttnProcessorB(nn.Module):
     heads: int
     slice_num: int
     dtype: Optional[jnp.dtype] = None
+    node_agg: str = "split"
 
     @nn.compact
     def __call__(self, node_h, edge_h, static: StaticPack):
         node_in = node_h
         for i in range(self.message_passing_num):
             node_h, edge_h = GnBlockB(self.hidden_size, self.dtype,
+                                      self.node_agg,
                                       name=f"gn_{i}")(node_h, edge_h, static)
         node_h = TransolverBlock(self.hidden_size, self.heads, self.slice_num,
                                  dtype=self.dtype, name="transolver")(
@@ -44,7 +46,9 @@ class FVGNSimulatorB(nn.Module):
         node_h, edge_h = Encoder(c.hidden_size, dtype, name="encoder")(
             node_feats, edge_feats)
         for i in range(c.message_passing_num):
-            node_h, edge_h = GnBlockB(c.hidden_size, dtype, name=f"gn_{i}")(
+            node_h, edge_h = GnBlockB(c.hidden_size, dtype,
+                                      getattr(c, "node_agg", "split"),
+                                      name=f"gn_{i}")(
                 node_h, edge_h, static)
         return Decoder(c.node_output_size, c.hidden_size, dtype,
                        name="decoder")(node_h)
@@ -60,7 +64,9 @@ class TransFVGNv1B(nn.Module):
         node_h, edge_h = Encoder(c.hidden_size, dtype, name="encoder")(
             node_feats, edge_feats)
         for i in range(c.message_passing_num):
-            node_h, edge_h = GnBlockB(c.hidden_size, dtype, name=f"gn_{i}")(
+            node_h, edge_h = GnBlockB(c.hidden_size, dtype,
+                                      getattr(c, "node_agg", "split"),
+                                      name=f"gn_{i}")(
                 node_h, edge_h, static)
         node_h = TransolverBlock(c.hidden_size, c.attn_heads, c.slice_num,
                                  dtype=dtype, name="transolver")(
@@ -81,7 +87,8 @@ class TransFVGNv2B(nn.Module):
         for i in range(2):
             node_h, edge_h = AttnProcessorB(
                 c.hidden_size, c.message_passing_num, c.attn_heads,
-                c.slice_num, dtype, name=f"processor_{i}")(
+                c.slice_num, dtype, getattr(c, "node_agg", "split"),
+                name=f"processor_{i}")(
                 node_h, edge_h, static)
         return Decoder(c.node_output_size, c.hidden_size, dtype,
                        name="decoder")(node_h)

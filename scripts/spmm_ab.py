@@ -37,36 +37,49 @@ def main():
     from gen_fvgn_tpu.training.train_block import (init_train_state_block,
                                                    make_train_step_block)
 
-    cfg = Config(batch_size=8, dataset_size=8, n_epochs=1000,
-                 mxu_dtype="bfloat16", tile=256)
-    pool = EnvPool([CASE], cfg, seed=0, pad_multiple=256, engine="block",
-                   tile=256)
-    static = pool.statics[0]
-    dyn = pool.gather_block(np.arange(8))
-    state, apply_fn = init_train_state_block(cfg, dyn, static, seed=0)
-
     from gen_fvgn_tpu.ops import fused_mlp as fm
 
+    pools = {}
+
+    def setup(node_agg):
+        if node_agg not in pools:
+            cfg = Config(batch_size=8, dataset_size=8, n_epochs=1000,
+                         mxu_dtype="bfloat16", tile=256, node_agg=node_agg)
+            pool = EnvPool([CASE], cfg, seed=0, pad_multiple=256,
+                           engine="block", tile=256)
+            static = pool.statics[0]
+            dyn = pool.gather_block(np.arange(8))
+            state, apply_fn = init_train_state_block(cfg, dyn, static, seed=0)
+            pools[node_agg] = (cfg, static, dyn, state, apply_fn)
+        return pools[node_agg]
+
+    tiles_std = (512, 256, 128)
+    tiles_1k = (1024, 512, 256, 128)
     variants = (
-        ("base", False, (512, 256, 128)),
-        ("pallas", True, (512, 256, 128)),
-        ("tile1k", False, (1024, 512, 256, 128)),
-        ("pl+1k", True, (1024, 512, 256, 128)),
-        ("base2", False, (512, 256, 128)),
-        ("pl+1k2", True, (1024, 512, 256, 128)),
+        ("base", False, tiles_std, "split"),
+        ("pallas", True, tiles_std, "split"),
+        ("tile1k", False, tiles_1k, "split"),
+        ("pl+1k", True, tiles_1k, "split"),
+        ("wide", False, tiles_std, "wide"),
+        ("composed", False, tiles_std, "composed"),
+        ("pl+comp", True, tiles_1k, "composed"),
+        ("pl+wide", True, tiles_1k, "wide"),
+        ("base2", False, tiles_std, "split"),
+        ("pl+1k2", True, tiles_1k, "split"),
     )
     only = os.environ.get("AB_ONLY")
-    for name, flag, cands in variants:
-        if only and only not in name:
+    for name, flag, cands, agg in variants:
+        if only and only not in name.split("+") and only != name:
             continue
+        cfg, static, dyn, state, apply_fn = setup(agg)
         bs.use_pallas_spmm(flag)
         fm.set_tile_m_candidates(cands)
         step = make_train_step_block(cfg, apply_fn, donate=False)
         ms = time_step(step, state, dyn, static)
-        print(f"{name:8s}: {ms:7.2f} ms/step  ({1e3 / ms:.2f} steps/s)",
+        print(f"{name:9s}: {ms:7.2f} ms/step  ({1e3 / ms:.2f} steps/s)",
               flush=True)
     bs.use_pallas_spmm(False)
-    fm.set_tile_m_candidates((512, 256, 128))
+    fm.set_tile_m_candidates(tiles_std)
 
 
 if __name__ == "__main__":

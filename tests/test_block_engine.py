@@ -483,3 +483,51 @@ def test_block_loss_grad_pallas_spmm_vs_einsum():
         np.testing.assert_allclose(
             a / denom, b / denom, atol=1e-1,
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+@pytest.mark.parametrize("variant", ["wide", "composed"])
+def test_node_agg_variants_match_split(variant):
+    """NodeBlock aggregation formulations (cfg.node_agg): 'wide' (128-lane
+    scats + node-side slice/add) and 'composed' (precomputed adj@scat
+    operators) must reproduce the default lane-split path — same params,
+    same losses, same loss gradients (bf16 rounding tolerance)."""
+    from gen_fvgn_tpu.training.forward import training_loss
+    from gen_fvgn_tpu.training.forward_block import forward_batch_block
+    from gen_fvgn_tpu.training.train_block import init_train_state_block
+
+    raw = rcm_reorder({k: v for k, v in cavity_quad_mesh(6).items()})
+    mesh = compile_mesh(raw)
+    case = synthetic_case(mesh, continuity=1, convection=1, grad_p=1,
+                          mu=0.05, sigma=(1, 1, 1))
+
+    results = {}
+    for agg in ("split", variant):
+        cfg = Config(batch_size=2, dataset_size=2, mxu_dtype="bfloat16",
+                     hidden_size=128, message_passing_num=1, slice_num=8,
+                     attn_heads=4, node_agg=agg)
+        pool = EnvPool([], cfg, seed=0, pad_multiple=256, cases=[case],
+                       engine="block")
+        static = pool.statics[0]
+        dyn = pool.gather_block(np.asarray([0, 1]))
+        state, apply_fn = init_train_state_block(cfg, dyn, static, seed=0)
+
+        def loss_fn(p):
+            out = forward_batch_block(apply_fn, p, state.norm_state,
+                                      dyn, static, cfg,
+                                      accumulate_normalizer=False)
+            return training_loss(out, cfg)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        results[agg] = (float(loss), grads)
+
+    l0, g0 = results["split"]
+    l1, g1 = results[variant]
+    np.testing.assert_allclose(l1, l0, rtol=2e-2)
+    flat0, _ = jax.tree_util.tree_flatten_with_path(g0)
+    flat1, _ = jax.tree_util.tree_flatten_with_path(g1)
+    for (path, a), (_, b) in zip(flat1, flat0):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        denom = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(
+            a / denom, b / denom, atol=1e-1,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
