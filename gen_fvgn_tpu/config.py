@@ -103,17 +103,19 @@ class Config:
                                        # all k rows (Hessians — needed for
                                        # LSFD on the block engine; ~k/2×
                                        # the wlsq operator traffic)
-    node_agg: str = "split"            # block engine NodeBlock aggregation:
-                                       # "split" (lane-split halves, two
-                                       # 64-lane scats, then adj),
-                                       # "wide" (two 128-lane scats on the
-                                       # full edge stream, N-side slice+add,
-                                       # then adj), or "composed" (the
-                                       # adj@scat products are precomputed
-                                       # per mesh — one wide apply per half,
-                                       # no intermediate agg stream). Same
-                                       # math; layout/traffic tradeoffs are
-                                       # measured per workload.
+    node_agg: str = "composed"         # block engine NodeBlock aggregation:
+                                       # "composed" (default: the adj@scat
+                                       # products are precomputed per mesh —
+                                       # one wide 128-lane apply per half, no
+                                       # intermediate agg stream, no lane
+                                       # split; fastest with the Pallas
+                                       # streaming spmm), "split" (lane-split
+                                       # halves, two 64-lane scats, then
+                                       # adj — the round-2 formulation), or
+                                       # "wide" (two 128-lane scats, N-side
+                                       # slice+add, then adj). Same math and
+                                       # parameter tree (equivalence-tested);
+                                       # A/B table in ROUND_NOTES round-3.
     microbatch: int = 8                # block engine: PER-DEVICE chunk
                                        # size — batches above
                                        # microbatch×dp_devices run as

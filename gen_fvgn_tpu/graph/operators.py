@@ -189,7 +189,8 @@ def build_mesh_operators(mesh: Dict[str, np.ndarray], order: str,
     # NOTE: tile_in=128 was probed for adj (isolated win 248→222 us/apply)
     # but LOST in the full step — K grows and the in-step layouts differ;
     # both tiles stay at `tile` (see ROUND_NOTES "tried and rejected")
-    adj = build_linop(rows, cols, ones2, np_pad, np_pad, tile, tile, mdt)
+    adj = build_linop(rows, cols, ones2, np_pad, np_pad, tile, tile, mdt,
+                      window_s=8)
     deg = np.zeros((np_pad, 1), np.float32)
     np.add.at(deg, rows, 1.0)
 
@@ -198,16 +199,16 @@ def build_mesh_operators(mesh: Dict[str, np.ndarray], order: str,
     s_take = np.zeros(e_pad, np.int32); s_take[:e] = s
     r_take = np.zeros(e_pad, np.int32); r_take[:e] = r
     gs = build_linop(*gather_coo(s), e_pad, np_pad, tile, tile, dtype=mdt,
-                     fwd_take=s_take)
+                     fwd_take=s_take, window_s=8)
     gr = build_linop(*gather_coo(r), e_pad, np_pad, tile, tile, dtype=mdt,
-                     fwd_take=r_take)
+                     fwd_take=r_take, window_s=8)
     ed = build_linop(*signed_diff_coo(face_node), e_pad, np_pad, tile, tile,
                      ell_max_k=_ELL_MAX_K)
     e_idx = np.arange(e)
     scat_r = build_linop(r, e_idx, np.ones(e, np.float32), np_pad, e_pad,
-                         tile, tile, mdt)
+                         tile, tile, mdt, window_s=8)
     scat_s = build_linop(s, e_idx, np.ones(e, np.float32), np_pad, e_pad,
-                         tile, tile, mdt)
+                         tile, tile, mdt, window_s=8)
 
     nbr_r = nbr_s = None
     if node_agg == "composed":
@@ -223,9 +224,9 @@ def build_mesh_operators(mesh: Dict[str, np.ndarray], order: str,
                            shape=(n, e))
         Cr, Cs = (A @ Sr).tocoo(), (A @ Ss).tocoo()
         nbr_r = build_linop(Cr.row, Cr.col, Cr.data, np_pad, e_pad,
-                            tile, tile, mdt)
+                            tile, tile, mdt, window_s=8)
         nbr_s = build_linop(Cs.row, Cs.col, Cs.data, np_pad, e_pad,
-                            tile, tile, mdt)
+                            tile, tile, mdt, window_s=8)
 
     # ---- folded WLSQ operator ----
     stencil = mesh["stencil"].astype(np.int64)

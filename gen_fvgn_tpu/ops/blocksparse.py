@@ -55,6 +55,15 @@ class BlockOp:
     take_idx: Optional[jnp.ndarray] = None   # [n_out] i32 row-gather indices
     ell_idx: Optional[jnp.ndarray] = None    # [n_out, k] i32 (pad: 0)
     ell_vals: Optional[jnp.ndarray] = None   # [n_out, k] f32 (pad: 0.0)
+    # windowed-spmm metadata (ops/pallas_spmm.py::build_window_meta):
+    # present when the operator band admits a contiguous operand window per
+    # super-tile; the streaming kernel then fetches one window per
+    # (super-tile, batch-lane) step instead of K tiles per row-tile
+    win_start: Optional[jnp.ndarray] = None  # [nSuper] i32
+    win_local: Optional[jnp.ndarray] = None  # [nToPad, K] i32
+    win_w: int = struct.field(pytree_node=False, default=0)
+    win_s: int = struct.field(pytree_node=False, default=0)
+    win_pad: int = struct.field(pytree_node=False, default=0)
 
     @property
     def tile_out(self) -> int:
@@ -108,7 +117,8 @@ def build_block_op(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
                    n_out: int, n_in: int, tile_out: int = 256,
                    tile_in: int = 256, dtype=np.float32,
                    take_idx: Optional[np.ndarray] = None,
-                   ell_max_k: Optional[int] = None) -> BlockOp:
+                   ell_max_k: Optional[int] = None,
+                   window_s: int = 0) -> BlockOp:
     """Assemble dense tiles from COO triplets (duplicates accumulate).
 
     n_out / n_in are the PADDED sizes (must be multiples of the tiles).
@@ -149,17 +159,27 @@ def build_block_op(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
         np.asarray(take_idx, np.int32))
     ell = (None if ell_max_k is None
            else _build_ell_tables(rows, cols, vals, n_out, n_in, ell_max_k))
+    win = None
+    if window_s:
+        from gen_fvgn_tpu.ops.pallas_spmm import build_window_meta
+        win = build_window_meta(blocks, in_tile, s_tiles=window_s)
     return BlockOp(blocks=jnp.asarray(blocks), in_tile=jnp.asarray(in_tile),
                    take_idx=ti,
                    ell_idx=None if ell is None else jnp.asarray(ell[0]),
-                   ell_vals=None if ell is None else jnp.asarray(ell[1]))
+                   ell_vals=None if ell is None else jnp.asarray(ell[1]),
+                   win_start=None if win is None else jnp.asarray(win[0]),
+                   win_local=None if win is None else jnp.asarray(win[1]),
+                   win_w=0 if win is None else win[2],
+                   win_s=0 if win is None else win[3],
+                   win_pad=0 if win is None else win[4])
 
 
 def build_linop(rows, cols, vals, n_out: int, n_in: int,
                 tile_out: int = 256, tile_in: int = 256,
                 dtype=np.float32,
                 fwd_take: Optional[np.ndarray] = None,
-                ell_max_k: Optional[int] = None) -> LinOp:
+                ell_max_k: Optional[int] = None,
+                window_s: int = 0) -> LinOp:
     """fwd_take: explicit row-gather indices [n_out] (pad rows 0) enabling
     the jnp.take fast path on the forward direction; the backward stays a
     block matmul (XLA scatter is the thing this engine exists to avoid).
@@ -171,22 +191,37 @@ def build_linop(rows, cols, vals, n_out: int, n_in: int,
     backward stays gather-only too)."""
     return LinOp(
         fwd=build_block_op(rows, cols, vals, n_out, n_in, tile_out, tile_in,
-                           dtype, take_idx=fwd_take, ell_max_k=ell_max_k),
+                           dtype, take_idx=fwd_take, ell_max_k=ell_max_k,
+                           window_s=window_s),
         bwd=build_block_op(cols, rows, vals, n_in, n_out, tile_in, tile_out,
-                           dtype, ell_max_k=ell_max_k),
+                           dtype, ell_max_k=ell_max_k, window_s=window_s),
     )
 
 
-# Route LinOp applications through the Pallas streaming kernel
-# (ops/pallas_spmm.py) instead of the XLA gather+einsum. The kernel avoids
-# materializing the gathered operand tiles in HBM (scalar-prefetched DMA
-# straight into VMEM). Off by default until profiled per-workload.
-_USE_PALLAS = False
+# Route LinOp applications through the Pallas streaming kernels
+# (ops/pallas_spmm.py) instead of the XLA gather+einsum: the gathered
+# operand tiles stream straight into VMEM (never materialized in HBM) and
+# the batch-inner grid reads each operator panel once per row-tile.
+# None = auto: enabled on the TPU backend (measured −3.5 ms/step on the
+# bench case), disabled elsewhere (CPU tests use the XLA path unless a
+# test opts into interpret-mode kernels via use_pallas_spmm(True)).
+_USE_PALLAS = None
+# "window": prefer the windowed kernel when the op carries window metadata
+# (falls back to the binner); "binner": always the per-slot-spec kernel.
+_PALLAS_MODE = "window"
 
 
-def use_pallas_spmm(enabled: bool = True) -> None:
-    global _USE_PALLAS
+def use_pallas_spmm(enabled=True, mode: str = "window") -> None:
+    """enabled: True/False, or None to restore backend auto-detection."""
+    global _USE_PALLAS, _PALLAS_MODE
     _USE_PALLAS = enabled
+    _PALLAS_MODE = mode
+
+
+def _pallas_enabled() -> bool:
+    if _USE_PALLAS is None:
+        return jax.default_backend() == "tpu"
+    return _USE_PALLAS
 
 
 import functools as _functools
@@ -234,6 +269,40 @@ def _make_spmm_vmappable(out_dtype_name: str, interpret: bool):
     return spmm
 
 
+@_functools.lru_cache(maxsize=None)
+def _make_spmm_vmappable_window(out_dtype_name: str, interpret: bool,
+                                w: int, s: int, pad: int):
+    """Windowed variant of _make_spmm_vmappable: one contiguous operand
+    window per (super-tile, batch) step instead of K tile fetches per
+    row-tile — cuts operand re-reads from ~K x to ~w/s x on banded ops."""
+    import jax.numpy as _jnp
+
+    out_dtype = _jnp.dtype(out_dtype_name)
+
+    from gen_fvgn_tpu.ops.pallas_spmm import pallas_block_spmm_window
+
+    @_custom_batching.custom_vmap
+    def spmm(blocks, win_start, win_local, x):
+        out = pallas_block_spmm_window(
+            blocks, win_start, win_local, x[None], w_tiles=w, s_tiles=s,
+            n_to_pad=pad, out_dtype=out_dtype, interpret=interpret)
+        return out[0]
+
+    @spmm.def_vmap
+    def _rule(axis_size, in_batched, blocks, win_start, win_local, x):
+        del axis_size
+        if in_batched[0] or in_batched[1] or in_batched[2] \
+                or not in_batched[3]:
+            raise NotImplementedError(
+                "pallas spmm vmap expects shared operator, batched operand")
+        out = pallas_block_spmm_window(
+            blocks, win_start, win_local, x, w_tiles=w, s_tiles=s,
+            n_to_pad=pad, out_dtype=out_dtype, interpret=interpret)
+        return out, True
+
+    return spmm
+
+
 def _out_dtype(op: BlockOp, x: jnp.ndarray):
     """bf16 operand AND bf16 operator (the model message-passing path):
     emit bf16 — the step is HBM-bound and the f32 output doubles the bytes
@@ -264,10 +333,16 @@ def _apply_block_op(op: BlockOp, x: jnp.ndarray) -> jnp.ndarray:
             idx = (jnp.arange(b, dtype=jnp.int32)[:, None] * n_in
                    + op.take_idx[None, :]).reshape(-1)
             return jnp.take(xf, idx, axis=0).reshape(b, op.n_out, f)
-        if _USE_PALLAS and f % 128 == 0:
-            from gen_fvgn_tpu.ops.pallas_spmm import pallas_block_spmm_binner
+        if _pallas_enabled() and f % 128 == 0:
+            from gen_fvgn_tpu.ops.pallas_spmm import (
+                pallas_block_spmm_binner, pallas_block_spmm_window)
             xin = (x.astype(jnp.bfloat16)
                    if op.blocks.dtype == jnp.bfloat16 else x)
+            if _PALLAS_MODE == "window" and op.win_start is not None:
+                return pallas_block_spmm_window(
+                    op.blocks, op.win_start, op.win_local, xin,
+                    w_tiles=op.win_w, s_tiles=op.win_s, n_to_pad=op.win_pad,
+                    out_dtype=_out_dtype(op, x))
             return pallas_block_spmm_binner(op.blocks, op.in_tile, xin,
                                             out_dtype=_out_dtype(op, x))
         n_ti = n_in // op.tile_in
@@ -287,13 +362,18 @@ def _apply_block_op(op: BlockOp, x: jnp.ndarray) -> jnp.ndarray:
         # (e.g. the Gathered-part projections accumulated in f32) keep
         # full precision through the gather
         return jnp.take(x, op.take_idx, axis=0)
-    if _USE_PALLAS and x.ndim == 2 and x.shape[1] % 128 == 0:
+    if _pallas_enabled() and x.ndim == 2 and x.shape[1] % 128 == 0:
         # custom-vmap wrapped: under the per-sample jax.vmap this routes to
         # the batch-inner streaming kernel (operator panel read once per
         # row-tile); un-vmapped it is the plain (nTo, K) streaming kernel
         xin = x.astype(jnp.bfloat16) if op.blocks.dtype == jnp.bfloat16 else x
-        fn = _make_spmm_vmappable(jnp.dtype(_out_dtype(op, x)).name,
-                                  jax.default_backend() != "tpu")
+        interp = jax.default_backend() != "tpu"
+        dt_name = jnp.dtype(_out_dtype(op, x)).name
+        if _PALLAS_MODE == "window" and op.win_start is not None:
+            fn = _make_spmm_vmappable_window(dt_name, interp, op.win_w,
+                                             op.win_s, op.win_pad)
+            return fn(op.blocks, op.win_start, op.win_local, xin)
+        fn = _make_spmm_vmappable(dt_name, interp)
         return fn(op.blocks, op.in_tile, xin)
     n_ti = x.shape[0] // op.tile_in
     xt = x.reshape(n_ti, op.tile_in, -1)

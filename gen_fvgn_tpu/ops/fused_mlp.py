@@ -245,6 +245,20 @@ def _tile_spec(cols, tile_m=TILE_M):
                         memory_space=pltpu.VMEM)
 
 
+
+def _mlp_cost(m: int, k_tot: int, h: int, d: int, factor: int,
+              stream_bytes: int):
+    """CostEstimate for the fused kernels: Pallas contributes nothing to
+    XLA cost analysis unless declared (bench.py MFU accounting). factor=1
+    for the forward chain, 3 for the remat backward (recompute + two grad
+    matmuls per layer)."""
+    return pl.CostEstimate(
+        flops=2 * m * (k_tot * h + h * h + h * d) * factor,
+        bytes_accessed=stream_bytes,
+        transcendentals=2 * m * h * factor,
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _make_fused_fn(res_idx: Optional[int], res_dual: bool):
     """custom_vjp instance per residual configuration (static)."""
@@ -261,9 +275,13 @@ def _make_fused_fn(res_idx: Optional[int], res_dual: bool):
         d = w3.shape[1]
         tm = _pick_tile_m(m)
         n_out = 2 if (res_idx is not None and res_dual) else 1
+        k_tot = sum(p.shape[1] for p in parts) + 128 * n_pre
+        stream = sum(int(p.size) * p.dtype.itemsize for p in parts) \
+            + n_pre * m * h * 2 + n_out * m * d * 2
         out = pl.pallas_call(
             _make_fwd_kernel(n_parts, n_pre, res_idx, res_dual),
             grid=(m // tm,),
+            cost_estimate=_mlp_cost(m, k_tot, h, d, 1, stream),
             in_specs=(
                 [_tile_spec(p.shape[1], tm) for p in parts]
                 + [_const_spec(w.shape) for w in w1s]
@@ -296,9 +314,14 @@ def _make_fused_fn(res_idx: Optional[int], res_dual: bool):
             return pl.BlockSpec((1,) + shape, lambda i: (i,) + (0,) * nd,
                                 memory_space=pltpu.VMEM)
 
+        k_tot = sum(p.shape[1] for p in parts) + 128 * n_pre
+        stream = 2 * (sum(int(p.size) * p.dtype.itemsize for p in parts)
+                      + n_pre * m * h * 2) + (1 + len(douts)) * m * d * 2 \
+            + n_tiles * (k_tot * h + h * h + h * d + 5 * d + 2 * h) * 4
         outs = pl.pallas_call(
             _make_bwd_kernel(n_parts, n_pre, res_idx, res_dual),
             grid=(m // tm,),
+            cost_estimate=_mlp_cost(m, k_tot, h, d, 3, stream),
             in_specs=(
                 [_tile_spec(p.shape[1], tm) for p in parts]
                 + [_const_spec(w.shape) for w in w1s]
@@ -491,6 +514,7 @@ def _premlp_fwd(x, gamma, beta, w1, b1, w2, b2):
     out = pl.pallas_call(
         _premlp_fwd_kernel,
         grid=(m // tm,),
+        cost_estimate=_mlp_cost(m, c, hdim, c, 1, 2 * m * c * 2),
         in_specs=[_tile_spec(c, tm), _const_spec((1, c)), _const_spec((1, c)),
                   _const_spec((c, hdim)), _const_spec((1, hdim)),
                   _const_spec((hdim, c)), _const_spec((1, c))],
@@ -517,6 +541,9 @@ def _premlp_bwd(res, g):
     outs = pl.pallas_call(
         _premlp_bwd_kernel,
         grid=(n_tiles,),
+        cost_estimate=_mlp_cost(
+            m, c, hdim, c, 3,
+            3 * m * c * 2 + n_tiles * (2 * c * hdim + 3 * c + hdim) * 4),
         in_specs=[_tile_spec(c, tm), _const_spec((1, c)), _const_spec((1, c)),
                   _const_spec((c, hdim)), _const_spec((1, hdim)),
                   _const_spec((hdim, c)), _const_spec((1, c)),

@@ -22,6 +22,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _cost(n_row_tiles: int, n_k: int, t_out: int, t_in: int, f: int,
+          x_bytes: int, blocks_bytes: int, out_bytes: int):
+    """Explicit CostEstimate: Pallas kernels contribute nothing to XLA's
+    cost analysis unless declared, which silently deflates the bench's
+    FLOPs/MFU accounting (bench.py reads compiled cost_analysis)."""
+    return pl.CostEstimate(
+        flops=2 * n_row_tiles * n_k * t_out * t_in * f,
+        bytes_accessed=x_bytes + blocks_bytes + out_bytes,
+        transcendentals=0,
+    )
+
+
 def _spmm_kernel(in_tile_ref, blocks_ref, x_ref, out_ref):
     k = pl.program_id(1)
 
@@ -84,8 +96,141 @@ def pallas_block_spmm_batched(blocks: jnp.ndarray, in_tile: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, n_to * t_out, f), out_dtype),
         interpret=interpret,
+        cost_estimate=_cost(
+            n_to * b, k, t_out, t_in, f,
+            x_bytes=b * n_to * k * t_in * f * x.dtype.itemsize,
+            blocks_bytes=b * int(blocks.size) * blocks.dtype.itemsize,
+            out_bytes=b * n_to * t_out * f * jnp.dtype(out_dtype).itemsize),
     )(in_tile, blocks, xt)
     return out
+
+
+def build_window_meta(blocks, in_tile, s_tiles: int = 8):
+    """Host-side metadata for the WINDOWED batched spmm.
+
+    Groups the output row-tiles into super-tiles of `s_tiles`; for each
+    super-tile the referenced operand tiles lie (after RCM ordering) in a
+    narrow contiguous window. Returns (win_start [nSuper] i32,
+    local_idx [nToPad, K] i32, w_tiles, s_tiles, n_to_pad): the kernel
+    DMAs ONE window of `w_tiles` operand tiles per (super-tile, batch)
+    step instead of K tiles per row-tile, cutting operand re-reads from
+    ~K x to ~w/s x. Slots whose block panel is all-zero (build padding)
+    are ignored for the window and remapped to the window start (their
+    contribution is zero). Returns None when the band is too wide for a
+    useful window (w > max(2*s, s + 4))."""
+    import numpy as np
+    blocks = np.asarray(blocks)
+    in_tile = np.asarray(in_tile)
+    n_to, k = in_tile.shape
+    n_ti_max = int(in_tile.max()) + 1
+    valid = np.abs(blocks.astype(np.float32)).sum(axis=(2, 3)) > 0
+    n_super = (n_to + s_tiles - 1) // s_tiles
+    n_to_pad = n_super * s_tiles
+
+    it = np.zeros((n_to_pad, k), np.int64)
+    va = np.zeros((n_to_pad, k), bool)
+    it[:n_to] = in_tile
+    va[:n_to] = valid
+
+    win_start = np.zeros(n_super, np.int32)
+    w_req = 1
+    for i in range(n_super):
+        sl = slice(i * s_tiles, (i + 1) * s_tiles)
+        v = va[sl]
+        if v.any():
+            lo = int(it[sl][v].min())
+            hi = int(it[sl][v].max())
+            w_req = max(w_req, hi - lo + 1)
+            win_start[i] = lo
+    w = w_req
+    # A banded operator references ~(nTi/nTo)*s consecutive operand tiles
+    # per super-tile plus the band overlap; wider than that means the mesh
+    # ordering is not banded enough for windowing to pay.
+    ratio = max(1, -(-n_ti_max * s_tiles // max(n_to, 1)))
+    if w > ratio + max(4, s_tiles // 2):
+        return None
+    # clamp starts so every window stays in-bounds
+    win_start = np.minimum(win_start, max(n_ti_max - w, 0)).astype(np.int32)
+
+    local = it - win_start.repeat(s_tiles)[:, None]
+    local[~va] = 0
+    if (local < 0).any() or (local >= w).any():
+        return None
+    return (win_start, local.astype(np.int32), int(w), int(s_tiles),
+            int(n_to_pad))
+
+
+@functools.partial(jax.jit, static_argnames=("w_tiles", "s_tiles",
+                                             "n_to_pad", "interpret",
+                                             "out_dtype"))
+def pallas_block_spmm_window(blocks: jnp.ndarray, win_start: jnp.ndarray,
+                             local_idx: jnp.ndarray, x: jnp.ndarray,
+                             w_tiles: int, s_tiles: int, n_to_pad: int,
+                             interpret: bool = False,
+                             out_dtype=jnp.float32) -> jnp.ndarray:
+    """Windowed batch-major spmm: out [B, nTo*To, F].
+
+    Grid (nSuper, B), batch innermost: the [S, K, To, Ti] panel slab is
+    fetched once per super-tile (constant index across the inner B steps),
+    and the operand arrives as ONE contiguous `w_tiles`-tile window per
+    step (pl.Element start = b*nTi + win_start[i_s]), with per-slot tiles
+    selected by dynamic VMEM indexing from the prefetched local table."""
+    n_to, n_k, t_out, t_in = blocks.shape
+    b, n_in, f = x.shape
+    n_ti = n_in // t_in
+    n_super = n_to_pad // s_tiles
+    xt = x.reshape(b * n_ti, t_in, f)
+    if n_to_pad != n_to:
+        pad = jnp.zeros((n_to_pad - n_to,) + blocks.shape[1:], blocks.dtype)
+        blocks = jnp.concatenate([blocks, pad], axis=0)
+    blocks_s = blocks.reshape(n_super, s_tiles, n_k, t_out, t_in)
+
+    # Flat-window form: xt viewed [B*nTi*Ti, F]; the window block is
+    # (Element(w_tiles*t_in), f) starting at (b*nTi + win_start[i_s])*t_in,
+    # and slot tiles are dynamic row-slices of the window.
+    xf = xt.reshape(b * n_ti * t_in, f)
+
+    def kernel2(ws_ref, li_ref, blocks_ref, x_ref, out_ref):
+        i_s = pl.program_id(0)
+        for t in range(s_tiles):
+            acc = None
+            for j in range(n_k):
+                idx = li_ref[i_s * s_tiles + t, j]
+                xt_tile = x_ref[pl.dslice(idx * t_in, t_in), :]
+                p = jax.lax.dot_general(
+                    blocks_ref[0, t, j], xt_tile,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = p if acc is None else acc + p
+            out_ref[0, t * t_out:(t + 1) * t_out, :] = acc.astype(
+                out_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_super, b),
+        in_specs=[
+            pl.BlockSpec((1, s_tiles, n_k, t_out, t_in),
+                         lambda i, bi, ws, li: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((pl.Element(w_tiles * t_in), pl.Element(f)),
+                         lambda i, bi, ws, li:
+                         ((bi * n_ti + ws[i]) * t_in, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, s_tiles * t_out, f),
+                               lambda i, bi, ws, li: (bi, i, 0)),
+    )
+
+    out = pl.pallas_call(
+        kernel2,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n_to_pad * t_out, f), out_dtype),
+        interpret=interpret,
+        cost_estimate=_cost(
+            n_to_pad * b, n_k, t_out, t_in, f,
+            x_bytes=n_super * b * w_tiles * t_in * f * x.dtype.itemsize,
+            blocks_bytes=int(blocks_s.size) * blocks_s.dtype.itemsize,
+            out_bytes=b * n_to_pad * t_out * f * jnp.dtype(out_dtype).itemsize),
+    )(win_start, local_idx, blocks_s, xf)
+    return out[:, :n_to * t_out]
 
 
 def _make_spmm_binner_kernel(n_k: int):
@@ -147,6 +292,11 @@ def pallas_block_spmm_binner(blocks: jnp.ndarray, in_tile: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, n_to * t_out, f), out_dtype),
         interpret=interpret,
+        cost_estimate=_cost(
+            n_to * b, n_k, t_out, t_in, f,
+            x_bytes=n_to * b * n_k * t_in * f * x.dtype.itemsize,
+            blocks_bytes=int(blocks.size) * blocks.dtype.itemsize,
+            out_bytes=b * n_to * t_out * f * jnp.dtype(out_dtype).itemsize),
     )(in_tile, blocks, *([xt] * n_k))
     return out
 
@@ -180,5 +330,10 @@ def pallas_block_spmm(blocks: jnp.ndarray, in_tile: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_to * t_out, f), out_dtype),
         interpret=interpret,
+        cost_estimate=_cost(
+            n_to, k, t_out, t_in, f,
+            x_bytes=n_to * k * t_in * f * x.dtype.itemsize,
+            blocks_bytes=int(blocks.size) * blocks.dtype.itemsize,
+            out_bytes=n_to * t_out * f * jnp.dtype(out_dtype).itemsize),
     )(in_tile, blocks, xt)
     return out

@@ -471,8 +471,12 @@ def test_block_loss_grad_pallas_spmm_vs_einsum():
         bs.use_pallas_spmm(True)
         l_pl, g_pl = loss_and_grad(state.params)
     finally:
-        bs.use_pallas_spmm(False)
-    l_ein, g_ein = loss_and_grad(state.params)
+        bs.use_pallas_spmm(None)   # restore backend auto-detection
+    bs.use_pallas_spmm(False)
+    try:
+        l_ein, g_ein = loss_and_grad(state.params)
+    finally:
+        bs.use_pallas_spmm(None)
 
     np.testing.assert_allclose(float(l_pl), float(l_ein), rtol=2e-2)
     flat_p, _ = jax.tree_util.tree_flatten_with_path(g_pl)

@@ -57,3 +57,34 @@ def test_pallas_spmm_matches_linop_apply():
     out = np.asarray(pallas_block_spmm(op.blocks, op.in_tile, jnp.asarray(x),
                                        interpret=True))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_spmm_window_matches_einsum():
+    """Windowed batched spmm vs the einsum reference on a banded operator
+    (RCM-like structure: each row's tiles within a narrow window)."""
+    from gen_fvgn_tpu.ops.pallas_spmm import (build_window_meta,
+                                              pallas_block_spmm_window)
+    rng = np.random.default_rng(3)
+    b, n_to, k, t, f = 3, 11, 3, 128, 128
+    n_ti = 12
+    blocks = rng.normal(size=(n_to, k, t, t)).astype(np.float32)
+    # banded structure + some all-zero (padding) slots
+    in_tile = np.clip(np.arange(n_to)[:, None] + np.array([[-1, 0, 1]]),
+                      0, n_ti - 1).astype(np.int32)
+    blocks[2, 1] = 0.0
+    in_tile[2, 1] = 0          # padding-style slot: zero panel, index 0
+    blocks[7, 2] = 0.0
+    in_tile[7, 2] = 0
+    x = rng.normal(size=(b, n_ti * t, f)).astype(np.float32)
+
+    ref = np.einsum("nkab,Bnkbf->Bnaf", blocks,
+                    x.reshape(b, n_ti, t, f)[:, in_tile]).reshape(
+                        b, n_to * t, f)
+    meta = build_window_meta(blocks, in_tile, s_tiles=4)
+    assert meta is not None
+    win_start, local_idx, w, s, n_to_pad = meta
+    out = np.asarray(pallas_block_spmm_window(
+        jnp.asarray(blocks), jnp.asarray(win_start), jnp.asarray(local_idx),
+        jnp.asarray(x), w_tiles=w, s_tiles=s, n_to_pad=n_to_pad,
+        interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
