@@ -52,10 +52,11 @@ class _DenseParams(nn.Module):
     """Parameter-only twin of nn.Dense — identical param tree."""
     in_features: int
     features: int
+    kernel_init: Any = TRUNC_INIT
 
     @nn.compact
     def __call__(self):
-        kernel = self.param("kernel", TRUNC_INIT,
+        kernel = self.param("kernel", self.kernel_init,
                             (self.in_features, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         return kernel, bias
@@ -120,21 +121,21 @@ class Mlp(nn.Module):
             pre = None
             for items in groups.values():
                 src = items[0][1].src.astype(dt)
-                w1cat = jnp.concatenate(
-                    [w1[offs[i]:offs[i + 1]] for i, _ in items],
-                    axis=-1).astype(dt)
-                # f32 ACCUMULATION, one bf16 rounding: the projection
-                # matmul accumulates in f32 and rounds once on output —
-                # carrying it f32 through the gather and kernel (measured)
-                # costs ~5 ms/step of extra HBM traffic on the bench
-                # workload for one fewer rounding vs the kernel's in-kernel
-                # f32 h1pre sum. The remaining asymmetry vs plain parts is
-                # that single rounding of the projected contribution.
-                y = jnp.dot(src, w1cat,
-                            preferred_element_type=jnp.float32).astype(dt)
-                h = self.hidden_size
-                for j, (i, p) in enumerate(items):
-                    contrib = apply_linop(p.op, y[..., j * h:(j + 1) * h])
+                for i, p in items:
+                    # f32 ACCUMULATION, one bf16 rounding: the projection
+                    # matmul accumulates in f32 and rounds once on output —
+                    # carrying it f32 through the gather and kernel
+                    # (measured) costs ~5 ms/step of extra HBM traffic on
+                    # the bench workload for one fewer rounding vs the
+                    # kernel's in-kernel f32 h1pre sum. One dot PER part
+                    # (not one concatenated dot): the gather then reads
+                    # full [·,H] rows instead of lane-slices of a [·,2H]
+                    # array (a sliced-row gather reads whole rows and
+                    # discards half the bytes).
+                    y = jnp.dot(src, w1[offs[i]:offs[i + 1]].astype(dt),
+                                preferred_element_type=jnp.float32
+                                ).astype(dt)
+                    contrib = apply_linop(p.op, y)
                     pre = contrib if pre is None else pre + contrib
             res_plain = None
             if self.residual_part is not None:

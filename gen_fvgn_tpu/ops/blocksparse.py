@@ -224,6 +224,16 @@ def _pallas_enabled() -> bool:
     return _USE_PALLAS
 
 
+# Route take-indexed (one-hot row-gather) FORWARDS through the windowed
+# spmm kernel instead of jnp.take (A/B experiment knob; see spmm_ab.py).
+_PALLAS_TAKE = False
+
+
+def use_pallas_take(enabled: bool = True) -> None:
+    global _PALLAS_TAKE
+    _PALLAS_TAKE = enabled
+
+
 import functools as _functools
 
 import jax.custom_batching as _custom_batching
@@ -328,7 +338,10 @@ def _apply_block_op(op: BlockOp, x: jnp.ndarray) -> jnp.ndarray:
     bf16 blocks cast the operand to bf16 for the MXU (f32 accumulation)."""
     if x.ndim == 3:
         b, n_in, f = x.shape
-        if op.take_idx is not None and f * x.dtype.itemsize >= 256:
+        take_ok = not (_PALLAS_TAKE and _pallas_enabled()
+                       and f % 128 == 0 and op.win_start is not None)
+        if take_ok and op.take_idx is not None \
+                and f * x.dtype.itemsize >= 256:
             xf = x.reshape(b * n_in, f)
             idx = (jnp.arange(b, dtype=jnp.int32)[:, None] * n_in
                    + op.take_idx[None, :]).reshape(-1)
@@ -356,7 +369,10 @@ def _apply_block_op(op: BlockOp, x: jnp.ndarray) -> jnp.ndarray:
                          preferred_element_type=_out_dtype(op, x))
         return out.reshape(b, op.n_out, f)
 
-    if op.take_idx is not None and x.shape[-1] * x.dtype.itemsize >= 256:
+    take_ok = not (_PALLAS_TAKE and _pallas_enabled()
+                   and x.shape[-1] % 128 == 0 and op.win_start is not None)
+    if take_ok and op.take_idx is not None \
+            and x.shape[-1] * x.dtype.itemsize >= 256:
         # a row gather is exact in the operand dtype — no bf16 roundtrip
         # even when the (structural) blocks are stored bf16, so f32 streams
         # (e.g. the Gathered-part projections accumulated in f32) keep

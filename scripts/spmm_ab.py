@@ -54,31 +54,31 @@ def main():
         return pools[node_agg]
 
     tiles_std = (512, 256, 128)
-    tiles_1k = (1024, 512, 256, 128)
+    # (name, pallas_spmm, pallas_take, node_agg)
     variants = (
-        ("base", False, tiles_std, "split"),
-        ("pallas", True, tiles_std, "split"),
-        ("tile1k", False, tiles_1k, "split"),
-        ("pl+1k", True, tiles_1k, "split"),
-        ("wide", False, tiles_std, "wide"),
-        ("composed", False, tiles_std, "composed"),
-        ("pl+comp", True, tiles_1k, "composed"),
-        ("pl+wide", True, tiles_1k, "wide"),
-        ("base2", False, tiles_std, "split"),
-        ("pl+1k2", True, tiles_1k, "split"),
+        ("default", None, False, "composed"),
+        ("pltake", None, True, "composed"),
+        ("binner", "binner", False, "composed"),
+        ("xla", False, False, "composed"),
+        ("default2", None, False, "composed"),
+        ("pltake2", None, True, "composed"),
     )
     only = os.environ.get("AB_ONLY")
-    for name, flag, cands, agg in variants:
-        if only and only not in name.split("+") and only != name:
+    for name, spmm, take, agg in variants:
+        if only and only != name:
             continue
         cfg, static, dyn, state, apply_fn = setup(agg)
-        bs.use_pallas_spmm(flag)
-        fm.set_tile_m_candidates(cands)
+        if spmm == "binner":
+            bs.use_pallas_spmm(True, mode="binner")
+        else:
+            bs.use_pallas_spmm(spmm)
+        bs.use_pallas_take(take)
         step = make_train_step_block(cfg, apply_fn, donate=False)
         ms = time_step(step, state, dyn, static)
         print(f"{name:9s}: {ms:7.2f} ms/step  ({1e3 / ms:.2f} steps/s)",
               flush=True)
-    bs.use_pallas_spmm(False)
+    bs.use_pallas_spmm(None)
+    bs.use_pallas_take(False)
     fm.set_tile_m_candidates(tiles_std)
 
 
