@@ -120,6 +120,16 @@ class MeshOperators:
     # split, and the 64-lane adj apply all vanish
     nbr_r: LinOp = None
     nbr_s: LinOp = None
+    # paired-gather union-window metadata for the EdgeBlock's
+    # sender/receiver Gathered projections (ops/pallas_spmm.py::
+    # pallas_gather_pair): one windowed kernel computes
+    # y[s_e, :H] + y[r_e, H:] instead of two row-gathers + an add
+    gpair_start: jnp.ndarray = None    # [nSuper] i32
+    gpair_ls: jnp.ndarray = None       # [nToPad, Ks] i32
+    gpair_lr: jnp.ndarray = None       # [nToPad, Kr] i32
+    gpair_w: int = struct.field(pytree_node=False, default=0)
+    gpair_s: int = struct.field(pytree_node=False, default=0)
+    gpair_pad: int = struct.field(pytree_node=False, default=0)
     # number of folded WLSQ derivative rows per node (static metadata)
     wlsq_n_q: int = struct.field(pytree_node=False, default=2)
 
@@ -202,6 +212,9 @@ def build_mesh_operators(mesh: Dict[str, np.ndarray], order: str,
                      fwd_take=s_take, window_s=8)
     gr = build_linop(*gather_coo(r), e_pad, np_pad, tile, tile, dtype=mdt,
                      fwd_take=r_take, window_s=8)
+    from gen_fvgn_tpu.ops.pallas_spmm import build_pair_window_meta
+    gpair = build_pair_window_meta(gs.fwd.blocks, gs.fwd.in_tile,
+                                   gr.fwd.blocks, gr.fwd.in_tile, s_tiles=8)
     ed = build_linop(*signed_diff_coo(face_node), e_pad, np_pad, tile, tile,
                      ell_max_k=_ELL_MAX_K)
     e_idx = np.arange(e)
@@ -324,5 +337,11 @@ def build_mesh_operators(mesh: Dict[str, np.ndarray], order: str,
         face_wall=jnp.asarray(face_wall),
         s_out=jnp.asarray(s_out),
         nbr_r=nbr_r, nbr_s=nbr_s,
+        gpair_start=None if gpair is None else jnp.asarray(gpair[0]),
+        gpair_ls=None if gpair is None else jnp.asarray(gpair[1]),
+        gpair_lr=None if gpair is None else jnp.asarray(gpair[2]),
+        gpair_w=0 if gpair is None else gpair[3],
+        gpair_s=0 if gpair is None else gpair[4],
+        gpair_pad=0 if gpair is None else gpair[5],
         wlsq_n_q=n_q,
     )

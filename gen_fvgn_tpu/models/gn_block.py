@@ -24,6 +24,9 @@ class EdgeBlockB(nn.Module):
 
     @nn.compact
     def __call__(self, node_x, edge_attr, static: StaticPack):
+        from gen_fvgn_tpu.models.mlp import _FUSED_ENABLED, GatheredPair
+        from gen_fvgn_tpu.ops import blocksparse as _bs
+        from gen_fvgn_tpu.ops.blocksparse import _pallas_enabled
         ops = static.ops
         agg = apply_linop(ops.adj, node_x)               # neighbour sum
         # Gathered parts: the MLP projects agg by the sender/receiver W1
@@ -32,13 +35,21 @@ class EdgeBlockB(nn.Module):
         # gathering first (row gathers commute with the right-matmul),
         # ~30% faster: the W1 matmuls run at node, not edge, cardinality
         # and the [E, h] agg_s/agg_r streams never hit HBM.
+        # With the Pallas path and pair-window metadata, the two gathers
+        # + add collapse into ONE windowed paired-gather kernel.
         # residual_dual: the kernel epilogue emits BOTH the raw edge update
         # (consumed by the NodeBlock) and edge_attr + update (the residual
         # stream) — the separate stream add never touches HBM
+        if (_bs._GATHER_PAIR and _pallas_enabled() and _FUSED_ENABLED
+                and ops.gpair_start is not None
+                and self.dtype == jnp.bfloat16):
+            gathered = (GatheredPair(agg, ops),)
+        else:
+            gathered = (Gathered(agg, ops.gather_s),
+                        Gathered(agg, ops.gather_r))
         return Mlp(self.hidden_size, self.hidden_size, dtype=self.dtype,
-                   residual_part=2, residual_dual=True,
-                   name="edge_mlp")((Gathered(agg, ops.gather_s),
-                                     Gathered(agg, ops.gather_r), edge_attr))
+                   residual_part=len(gathered), residual_dual=True,
+                   name="edge_mlp")(gathered + (edge_attr,))
 
 
 class NodeBlockB(nn.Module):
@@ -52,7 +63,9 @@ class NodeBlockB(nn.Module):
     def __call__(self, node_x, edge_attr, static: StaticPack):
         ops = static.ops
         h2 = self.hidden_size // 2
-        if self.node_agg == "composed":
+        # fall back to the split formulation when the pack was built
+        # without the composed operators (identical math either way)
+        if self.node_agg == "composed" and ops.nbr_r is not None:
             # one wide apply per half with the precomputed adj@scat
             # operators; the half selection moves to cheap node-side lane
             # slices (the [E, h/2] agg stream and its relayouts vanish)

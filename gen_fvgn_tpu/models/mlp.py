@@ -39,6 +39,18 @@ class Gathered(NamedTuple):
     src: Any    # [Ns, w] source array
     op: Any     # LinOp with fwd.take_idx set, mapping [M ← Ns]
 
+
+class GatheredPair(NamedTuple):
+    """TWO consecutive Gathered parts sharing one source, fused: the
+    contribution y[s_e, :H] + y[r_e, H:] (y = src @ [W1_a | W1_b]) is
+    computed by ONE windowed Pallas kernel (ops/pallas_spmm.py::
+    pallas_gather_pair) instead of two row-gathers + an add. `ops` is the
+    MeshOperators bundle carrying gather_s/gather_r and the gpair_* union
+    window metadata. Consumes TWO consecutive W1 row-blocks (2 x src
+    width)."""
+    src: Any    # [Ns, w] source array
+    ops: Any    # MeshOperators with gpair_* metadata
+
 # Fused-kernel dispatch switch (module-level so benches/tests can toggle).
 _FUSED_ENABLED = True
 
@@ -82,7 +94,9 @@ class Mlp(nn.Module):
         the fused kernel consumes the parts directly so the concatenation
         never materializes in HBM."""
         parts = tuple(x) if isinstance(x, (tuple, list)) else (x,)
-        widths = [p.src.shape[-1] if isinstance(p, Gathered) else p.shape[-1]
+        widths = [2 * p.src.shape[-1] if isinstance(p, GatheredPair)
+                  else p.src.shape[-1] if isinstance(p, Gathered)
+                  else p.shape[-1]
                   for p in parts]
         k_total = sum(widths)
         in_feats = [k_total] + [self.hidden_size] * self.num_hidden_layers
@@ -97,7 +111,7 @@ class Mlp(nn.Module):
             offs.append(offs[-1] + w)
         dt = self.dtype
         plain = [(p, (offs[i], offs[i + 1])) for i, p in enumerate(parts)
-                 if not isinstance(p, Gathered)]
+                 if not isinstance(p, (Gathered, GatheredPair))]
         if (dt == jnp.bfloat16 and _FUSED_ENABLED and ln is not None
                 and self.num_hidden_layers == 2 and plain
                 and plain[0][0].ndim in (2, 3)
@@ -119,6 +133,22 @@ class Mlp(nn.Module):
                 if isinstance(p, Gathered):
                     groups.setdefault(id(p.src), []).append((i, p))
             pre = None
+            for i, p in enumerate(parts):
+                if not isinstance(p, GatheredPair):
+                    continue
+                from gen_fvgn_tpu.ops.blocksparse import apply_gather_pair
+                o0, o1 = offs[i], offs[i + 1]
+                half = (o1 - o0) // 2
+                # project into BOTH halves' h1pre bases with one dot, lane
+                # halves [ys | yr]; the paired-gather kernel then streams
+                # the full window rows (no half-row gather waste)
+                w1cat = jnp.concatenate(
+                    [w1[o0:o0 + half], w1[o0 + half:o1]],
+                    axis=-1).astype(dt)
+                y = jnp.dot(p.src.astype(dt), w1cat,
+                            preferred_element_type=jnp.float32).astype(dt)
+                contrib = apply_gather_pair(p.ops, y)
+                pre = contrib if pre is None else pre + contrib
             for items in groups.values():
                 src = items[0][1].src.astype(dt)
                 for i, p in items:
@@ -153,10 +183,18 @@ class Mlp(nn.Module):
                         if isinstance(out, tuple) else unflat(out))
             return out
 
-        if any(isinstance(p, Gathered) for p in parts):
+        if any(isinstance(p, (Gathered, GatheredPair)) for p in parts):
             from gen_fvgn_tpu.ops.blocksparse import apply_linop
-            parts = tuple(apply_linop(p.op, p.src)
-                          if isinstance(p, Gathered) else p for p in parts)
+
+            def _mat(p):
+                if isinstance(p, GatheredPair):
+                    # fallback: materialize as the two concatenated gathers
+                    return jnp.concatenate(
+                        [apply_linop(p.ops.gather_s, p.src),
+                         apply_linop(p.ops.gather_r, p.src)], axis=-1)
+                return apply_linop(p.op, p.src) if isinstance(p, Gathered) \
+                    else p
+            parts = tuple(_mat(p) for p in parts)
         x = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
 
         def dense(h, w, b):

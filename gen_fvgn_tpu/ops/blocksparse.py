@@ -234,6 +234,19 @@ def use_pallas_take(enabled: bool = True) -> None:
     _PALLAS_TAKE = enabled
 
 
+# Paired-gather kernel for the EdgeBlock Gathered projections (one
+# windowed kernel instead of two takes + add). Measured NEUTRAL on the
+# bench case (38.1 vs 37.9 ms/step — the takes were already near their
+# stream roofline after the per-part projection-dot change), so off by
+# default; kept as a tested capability for gather-heavier meshes.
+_GATHER_PAIR = False
+
+
+def use_gather_pair(enabled: bool = True) -> None:
+    global _GATHER_PAIR
+    _GATHER_PAIR = enabled
+
+
 import functools as _functools
 
 import jax.custom_batching as _custom_batching
@@ -351,13 +364,15 @@ def _apply_block_op(op: BlockOp, x: jnp.ndarray) -> jnp.ndarray:
                 pallas_block_spmm_binner, pallas_block_spmm_window)
             xin = (x.astype(jnp.bfloat16)
                    if op.blocks.dtype == jnp.bfloat16 else x)
+            interp = jax.default_backend() != "tpu"
             if _PALLAS_MODE == "window" and op.win_start is not None:
                 return pallas_block_spmm_window(
                     op.blocks, op.win_start, op.win_local, xin,
                     w_tiles=op.win_w, s_tiles=op.win_s, n_to_pad=op.win_pad,
-                    out_dtype=_out_dtype(op, x))
+                    out_dtype=_out_dtype(op, x), interpret=interp)
             return pallas_block_spmm_binner(op.blocks, op.in_tile, xin,
-                                            out_dtype=_out_dtype(op, x))
+                                            out_dtype=_out_dtype(op, x),
+                                            interpret=interp)
         n_ti = n_in // op.tile_in
         xt = x.reshape(b * n_ti, op.tile_in, f)
         if op.blocks.dtype == jnp.bfloat16:
@@ -499,3 +514,61 @@ def incidence_coo(targets: np.ndarray, vals: Optional[np.ndarray] = None):
     e = np.arange(targets.shape[0])
     v = np.ones(targets.shape[0], np.float32) if vals is None else vals
     return targets, e, v
+
+
+@_functools.lru_cache(maxsize=None)
+def _make_gather_pair_fn(out_dtype_name: str, interpret: bool,
+                         w: int, s: int, pad: int):
+    """Paired-gather apply: pres = y[s_e, :H] + y[r_e, H:] via the windowed
+    one-hot-panel kernel (forward), with the matmul-transpose backward
+    (dy = [Gsᵀ g | Grᵀ g] lane-concat) — custom_vjp + custom_vmap so the
+    per-sample vmapped model path routes to the batch-inner kernel."""
+    import jax.numpy as _jnp
+
+    out_dtype = _jnp.dtype(out_dtype_name)
+
+    from gen_fvgn_tpu.ops.pallas_spmm import pallas_gather_pair
+
+    @jax.custom_vjp
+    def pair_b(bs, br, ws, ls, lr, bwd_s, bwd_r, y):
+        return pallas_gather_pair(bs, br, ws, ls, lr, y, w_tiles=w,
+                                  s_tiles=s, n_to_pad=pad,
+                                  out_dtype=out_dtype, interpret=interpret)
+
+    def _fwd(bs, br, ws, ls, lr, bwd_s, bwd_r, y):
+        return pair_b(bs, br, ws, ls, lr, bwd_s, bwd_r, y), (bwd_s, bwd_r)
+
+    def _bwd(res, g):
+        bwd_s, bwd_r = res
+        dy = jnp.concatenate([_apply_block_op(bwd_s, g),
+                              _apply_block_op(bwd_r, g)], axis=-1)
+        return (None, None, None, None, None, None, None, dy)
+
+    pair_b.defvjp(_fwd, _bwd)
+
+    @_custom_batching.custom_vmap
+    def pair(bs, br, ws, ls, lr, bwd_s, bwd_r, y):
+        return pair_b(bs, br, ws, ls, lr, bwd_s, bwd_r, y[None])[0]
+
+    @pair.def_vmap
+    def _rule(axis_size, in_batched, bs, br, ws, ls, lr, bwd_s, bwd_r, y):
+        del axis_size
+        flat, _ = jax.tree_util.tree_flatten(in_batched[:7])
+        if any(flat) or not in_batched[7]:
+            raise NotImplementedError(
+                "gather-pair vmap expects shared operator, batched operand")
+        return pair_b(bs, br, ws, ls, lr, bwd_s, bwd_r, y), True
+
+    return pair
+
+
+def apply_gather_pair(ops, y: jnp.ndarray) -> jnp.ndarray:
+    """pres = y[s_e, :H] + y[r_e, H:] for a MeshOperators bundle carrying
+    gpair_* union-window metadata. y: [n_nodes, 2H] (or batched under
+    vmap)."""
+    fn = _make_gather_pair_fn(
+        jnp.dtype(y.dtype).name, jax.default_backend() != "tpu",
+        ops.gpair_w, ops.gpair_s, ops.gpair_pad)
+    return fn(ops.gather_s.fwd.blocks, ops.gather_r.fwd.blocks,
+              ops.gpair_start, ops.gpair_ls, ops.gpair_lr,
+              ops.gather_s.bwd, ops.gather_r.bwd, y)

@@ -337,3 +337,155 @@ def pallas_block_spmm(blocks: jnp.ndarray, in_tile: jnp.ndarray,
             out_bytes=n_to * t_out * f * jnp.dtype(out_dtype).itemsize),
     )(in_tile, blocks, xt)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Paired-gather kernel: pres[e] = y[s_e, :H] + y[r_e, H:2H] in ONE windowed
+# pass. The GraphNet EdgeBlock's Gathered-part projections need exactly
+# this (sender/receiver row-gathers of the two halves of the projected
+# node array, summed). The XLA form costs two row-gathers plus an add
+# (three [B,E,H] streams); here the y window streams into VMEM once per
+# (super-tile, lane) step and the one-hot gather panels (read once per
+# super-tile, batch-inner) turn the row selection into MXU matmuls.
+# In-VMEM dynamic row gathers were probed and are NOT supported at this
+# scale (Mosaic: "Multiple source vregs along gather dimension").
+# ---------------------------------------------------------------------------
+
+
+def build_pair_window_meta(blocks_s, in_tile_s, blocks_r, in_tile_r,
+                           s_tiles: int = 8):
+    """Union window metadata for two gather ops sharing the output tiling.
+
+    Returns (win_start [nSuper] i32, local_s [nToPad, Ks] i32,
+    local_r [nToPad, Kr] i32, w_tiles, s_tiles, n_to_pad) or None when the
+    union band is too wide."""
+    import numpy as np
+    bs = np.asarray(blocks_s)
+    br = np.asarray(blocks_r)
+    its = np.asarray(in_tile_s)
+    itr = np.asarray(in_tile_r)
+    n_to = its.shape[0]
+    assert itr.shape[0] == n_to
+    n_ti_max = int(max(its.max(), itr.max())) + 1
+    vs = np.abs(bs.astype(np.float32)).sum(axis=(2, 3)) > 0
+    vr = np.abs(br.astype(np.float32)).sum(axis=(2, 3)) > 0
+    n_super = (n_to + s_tiles - 1) // s_tiles
+    n_to_pad = n_super * s_tiles
+
+    def padded(a, v):
+        ap = np.zeros((n_to_pad, a.shape[1]), np.int64)
+        vp = np.zeros((n_to_pad, a.shape[1]), bool)
+        ap[:n_to] = a
+        vp[:n_to] = v
+        return ap, vp
+
+    its_p, vs_p = padded(its, vs)
+    itr_p, vr_p = padded(itr, vr)
+
+    win_start = np.zeros(n_super, np.int32)
+    w_req = 1
+    for i in range(n_super):
+        sl = slice(i * s_tiles, (i + 1) * s_tiles)
+        tiles = np.concatenate([its_p[sl][vs_p[sl]], itr_p[sl][vr_p[sl]]])
+        if tiles.size:
+            w_req = max(w_req, int(tiles.max()) - int(tiles.min()) + 1)
+            win_start[i] = int(tiles.min())
+    w = w_req
+    ratio = max(1, -(-n_ti_max * s_tiles // max(n_to, 1)))
+    if w > ratio + max(4, s_tiles // 2):
+        return None
+    win_start = np.minimum(win_start, max(n_ti_max - w, 0)).astype(np.int32)
+
+    def localize(ap, vp):
+        lo = ap - win_start.repeat(s_tiles)[:, None]
+        lo[~vp] = 0
+        return lo.astype(np.int32)
+
+    ls, lr = localize(its_p, vs_p), localize(itr_p, vr_p)
+    if min(ls.min(), lr.min()) < 0 or max(ls.max(), lr.max()) >= w:
+        return None
+    return win_start, ls, lr, int(w), int(s_tiles), int(n_to_pad)
+
+
+@functools.partial(jax.jit, static_argnames=("w_tiles", "s_tiles",
+                                             "n_to_pad", "interpret",
+                                             "out_dtype"))
+def pallas_gather_pair(blocks_s: jnp.ndarray, blocks_r: jnp.ndarray,
+                       win_start: jnp.ndarray, local_s: jnp.ndarray,
+                       local_r: jnp.ndarray, y: jnp.ndarray,
+                       w_tiles: int, s_tiles: int, n_to_pad: int,
+                       interpret: bool = False,
+                       out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """out [B, nTo*To, H] = Gs @ y[:, :H] + Gr @ y[:, H:] per batch lane.
+
+    y: [B, nIn, 2H]; blocks_s/r: [nTo, K, To, Ti] one-hot gather panels.
+    Grid (nSuper, B) batch-inner: panels stream once per super-tile."""
+    n_to, k_s, t_out, t_in = blocks_s.shape
+    k_r = blocks_r.shape[1]
+    b, n_in, two_h = y.shape
+    h = two_h // 2
+    n_ti = n_in // t_in
+    n_super = n_to_pad // s_tiles
+
+    def pad_blocks(blk):
+        if n_to_pad != n_to:
+            pad = jnp.zeros((n_to_pad - n_to,) + blk.shape[1:], blk.dtype)
+            blk = jnp.concatenate([blk, pad], axis=0)
+        return blk.reshape(n_super, s_tiles, blk.shape[1], t_out, t_in)
+
+    bs_s = pad_blocks(blocks_s)
+    bs_r = pad_blocks(blocks_r)
+    yf = y.reshape(b * n_ti * t_in, two_h)
+
+    def kernel(ws_ref, ls_ref, lr_ref, ps_ref, pr_ref, y_ref, out_ref):
+        i_s = pl.program_id(0)
+        for t in range(s_tiles):
+            acc = None
+            for j in range(k_s):
+                idx = ls_ref[i_s * s_tiles + t, j]
+                ytile = y_ref[pl.dslice(idx * t_in, t_in), :h]
+                p = jax.lax.dot_general(
+                    ps_ref[0, t, j], ytile,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = p if acc is None else acc + p
+            for j in range(k_r):
+                idx = lr_ref[i_s * s_tiles + t, j]
+                ytile = y_ref[pl.dslice(idx * t_in, t_in), h:]
+                acc = acc + jax.lax.dot_general(
+                    pr_ref[0, t, j], ytile,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            out_ref[0, t * t_out:(t + 1) * t_out, :] = acc.astype(
+                out_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_super, b),
+        in_specs=[
+            pl.BlockSpec((1, s_tiles, k_s, t_out, t_in),
+                         lambda i, bi, ws, ls, lr: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, s_tiles, k_r, t_out, t_in),
+                         lambda i, bi, ws, ls, lr: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((pl.Element(w_tiles * t_in), pl.Element(two_h)),
+                         lambda i, bi, ws, ls, lr:
+                         ((bi * n_ti + ws[i]) * t_in, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, s_tiles * t_out, h),
+                               lambda i, bi, ws, ls, lr: (bi, i, 0)),
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n_to_pad * t_out, h), out_dtype),
+        interpret=interpret,
+        cost_estimate=_cost(
+            n_to_pad * b, k_s + k_r, t_out, t_in, h,
+            x_bytes=n_super * b * w_tiles * t_in * two_h * y.dtype.itemsize,
+            blocks_bytes=int(bs_s.size) * bs_s.dtype.itemsize
+            + int(bs_r.size) * bs_r.dtype.itemsize,
+            out_bytes=b * n_to_pad * t_out * h
+            * jnp.dtype(out_dtype).itemsize),
+    )(win_start, local_s, local_r, bs_s, bs_r, yf)
+    return out[:, :n_to * t_out]

@@ -469,9 +469,11 @@ def test_block_loss_grad_pallas_spmm_vs_einsum():
 
     try:
         bs.use_pallas_spmm(True)
+        bs.use_gather_pair(True)   # cover the paired-gather kernel too
         l_pl, g_pl = loss_and_grad(state.params)
     finally:
         bs.use_pallas_spmm(None)   # restore backend auto-detection
+        bs.use_gather_pair(False)
     bs.use_pallas_spmm(False)
     try:
         l_ein, g_ein = loss_and_grad(state.params)

@@ -88,3 +88,32 @@ def test_pallas_spmm_window_matches_einsum():
         jnp.asarray(x), w_tiles=w, s_tiles=s, n_to_pad=n_to_pad,
         interpret=True))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_gather_pair_matches_takes():
+    """Paired-gather windowed kernel vs take(ys)+take(yr) reference."""
+    from gen_fvgn_tpu.ops.blocksparse import build_block_op
+    from gen_fvgn_tpu.ops.pallas_spmm import (build_pair_window_meta,
+                                              pallas_gather_pair)
+    rng = np.random.default_rng(4)
+    b, n_nodes, n_edges, h = 2, 1024, 1536, 128
+    t = 256
+    # RCM-like locality: edge e's endpoints near node 2e/3
+    base = (np.arange(n_edges) * n_nodes // n_edges)
+    s_idx = np.clip(base + rng.integers(-40, 40, n_edges), 0, n_nodes - 1)
+    r_idx = np.clip(base + rng.integers(-40, 40, n_edges), 0, n_nodes - 1)
+    e = np.arange(n_edges)
+    ones = np.ones(n_edges, np.float32)
+    op_s = build_block_op(e, s_idx, ones, n_edges, n_nodes, t, t)
+    op_r = build_block_op(e, r_idx, ones, n_edges, n_nodes, t, t)
+    meta = build_pair_window_meta(op_s.blocks, op_s.in_tile,
+                                  op_r.blocks, op_r.in_tile, s_tiles=2)
+    assert meta is not None
+    ws, ls, lr, w, s, pad = meta
+    y = rng.normal(size=(b, n_nodes, 2 * h)).astype(np.float32)
+    ref = y[:, s_idx, :h] + y[:, r_idx, h:]
+    out = np.asarray(pallas_gather_pair(
+        op_s.blocks, op_r.blocks, jnp.asarray(ws), jnp.asarray(ls),
+        jnp.asarray(lr), jnp.asarray(y), w_tiles=w, s_tiles=s, n_to_pad=pad,
+        interpret=True, out_dtype=jnp.float32))
+    np.testing.assert_allclose(out[:, :n_edges], ref, rtol=1e-5, atol=1e-5)
