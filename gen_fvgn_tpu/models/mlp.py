@@ -125,6 +125,26 @@ class Mlp(nn.Module):
             lead = plain[0][0].shape[:-1]
             flat = (lambda a: a.reshape(-1, a.shape[-1])) \
                 if len(lead) == 2 else (lambda a: a)
+            if (len(plain) == len(parts) and k_total <= 64
+                    and self.residual_part is None):
+                # NARROW-input form (the encoders: 12/15-channel inputs):
+                # sub-128-lane streams DMA poorly into the kernel (~185
+                # GB/s measured); instead project into the h1pre basis
+                # with one XLA dot at the natural width and feed the
+                # kernel its pres-only form (full-lane streams end to
+                # end). f32 accumulation, one bf16 rounding — same
+                # convention as the Gathered projections.
+                xcat = parts[0] if len(parts) == 1 else jnp.concatenate(
+                    parts, axis=-1)
+                pre = jnp.dot(xcat.astype(dt), w1.astype(dt),
+                              preferred_element_type=jnp.float32
+                              ).astype(dt)
+                out = fused_mlp_ln_parts(
+                    [], w1, b1, w2, b2, w_out, b_out, ln[0], ln[1],
+                    dtype=dt, pres=(flat(pre),), w1_rows=[])
+                if len(lead) == 2:
+                    return out.reshape(lead + (out.shape[-1],))
+                return out
             # group Gathered parts by source so same-src projections run as
             # ONE matmul (the EdgeBlock's sender/receiver W1 slices share
             # the neighbour aggregate)

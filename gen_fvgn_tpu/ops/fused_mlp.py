@@ -71,13 +71,15 @@ def _gelu_tanh_grad(x):
     return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * du
 
 
-def _fwd_core(parts, w1s, b1, w2, b2, w3, b3):
-    """Forward chain: h1pre = Σ xᵢ·W1ᵢ + b1 (f32 accumulation)."""
+def _fwd_core(parts, w1s, b1, w2, b2, w3, b3, dt=None):
+    """Forward chain: h1pre = Σ xᵢ·W1ᵢ + b1 (f32 accumulation). `dt` is
+    the stream dtype (required for the pres-only form with no parts)."""
     h1pre = b1
     for xp, w1p in zip(parts, w1s):
         h1pre = h1pre + jnp.dot(xp, w1p, preferred_element_type=jnp.float32)
     h1 = _gelu_tanh(h1pre)
-    dt = parts[0].dtype
+    if dt is None:
+        dt = parts[0].dtype
     h2pre = jnp.dot(h1.astype(dt), w2,
                     preferred_element_type=jnp.float32) + b2
     h2 = _gelu_tanh(h2pre)
@@ -105,10 +107,11 @@ def _make_fwd_kernel(n_parts: int, n_pre: int, res_idx: Optional[int],
         b1 = b1_ref[:].astype(jnp.float32)
         for p in pres:
             b1 = b1 + p[:].astype(jnp.float32)
+        dt = parts[0].dtype if parts else pres[0].dtype
         _, _, _, _, y = _fwd_core(
             parts, w1s, b1,
             w2_ref[:], b2_ref[:].astype(jnp.float32),
-            w3_ref[:], b3_ref[:].astype(jnp.float32))
+            w3_ref[:], b3_ref[:].astype(jnp.float32), dt=dt)
         mu, rstd = _ln_stats(y)
         out = (y - mu) * rstd * g_ref[:].astype(jnp.float32) \
             + be_ref[:].astype(jnp.float32)
@@ -145,10 +148,11 @@ def _make_bwd_kernel(n_parts: int, n_pre: int, res_idx: Optional[int],
         b1 = b1_ref[:].astype(jnp.float32)
         for p in pres:
             b1 = b1 + p[:].astype(jnp.float32)
+        dt = parts[0].dtype if parts else pres[0].dtype
         h1pre, h1, h2pre, h2, y = _fwd_core(
             parts, w1s, b1,
             w2_ref[:], b2_ref[:].astype(jnp.float32),
-            w3_ref[:], b3_ref[:].astype(jnp.float32))
+            w3_ref[:], b3_ref[:].astype(jnp.float32), dt=dt)
         mu, rstd = _ln_stats(y)
         xhat = (y - mu) * rstd                               # [T, D]
 
@@ -178,7 +182,6 @@ def _make_bwd_kernel(n_parts: int, n_pre: int, res_idx: Optional[int],
         m2 = jnp.mean(gx * xhat, axis=-1, keepdims=True)
         dy = rstd * (gx - m1 - xhat * m2)                    # [T, D]
 
-        dt = parts[0].dtype
         dy16 = dy.astype(dt)
         accum(adw3_ref, jnp.dot(h2.astype(dt).T, dy16,
                                 preferred_element_type=jnp.float32))
@@ -270,7 +273,7 @@ def _make_fused_fn(res_idx: Optional[int], res_dual: bool):
 
     def fwd(parts, w1s, b1, w2, b2, w3, b3, gamma, beta, pres):
         n_parts, n_pre = len(parts), len(pres)
-        m = parts[0].shape[0]
+        m = (parts[0] if parts else pres[0]).shape[0]
         h = w2.shape[0]
         d = w3.shape[1]
         tm = _pick_tile_m(m)
@@ -291,7 +294,8 @@ def _make_fused_fn(res_idx: Optional[int], res_dual: bool):
                    _const_spec((1, d)), _const_spec((1, d)),
                    _const_spec((1, d))]),
             out_specs=[_tile_spec(d, tm)] * n_out,
-            out_shape=[jax.ShapeDtypeStruct((m, d), parts[0].dtype)] * n_out,
+            out_shape=[jax.ShapeDtypeStruct(
+                (m, d), (parts[0] if parts else pres[0]).dtype)] * n_out,
             interpret=_interpret(),
         )(*parts, *w1s, *pres, b1, w2, b2, w3, b3, gamma, beta)
         res = (parts, w1s, b1, w2, b2, w3, b3, gamma, pres)
@@ -300,7 +304,7 @@ def _make_fused_fn(res_idx: Optional[int], res_dual: bool):
     def bwd(res, g):
         parts, w1s, b1, w2, b2, w3, b3, gamma, pres = res
         n_parts, n_pre = len(parts), len(pres)
-        m = parts[0].shape[0]
+        m = (parts[0] if parts else pres[0]).shape[0]
         h = w2.shape[0]
         d = w3.shape[1]
         tm = _pick_tile_m(m)
@@ -398,9 +402,14 @@ def fused_mlp_ln_parts(parts: Sequence[jnp.ndarray], w1, b1, w2, b2, w3, b3,
         for w in widths:
             offs.append(offs[-1] + w)
         w1_rows = [(offs[i], offs[i + 1]) for i in range(len(parts))]
-    assert parts, "fused_mlp_ln_parts needs at least one plain part " \
-                  "(the kernels take tile shape/dtype from parts[0])"
-    m = parts[0].shape[0]
+    assert parts or pres, "fused_mlp_ln_parts needs at least one input"
+    if not parts:
+        # pres-only form (narrow-input encoders project into the h1pre
+        # basis outside the kernel): tile shape/dtype come from pres[0]
+        assert res_idx is None
+        m = pres[0].shape[0]
+    else:
+        m = parts[0].shape[0]
     m_pad = ((m + 255) // 256) * 256
 
     parts16, w1s = [], []

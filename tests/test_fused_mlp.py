@@ -149,6 +149,53 @@ def test_fused_parts_wrapper_unaligned_m_and_k():
                                rtol=0.05, atol=0.05)
 
 
+def test_fused_pres_only_forward_and_gradients():
+    """The pres-only kernel form (no plain parts — narrow-input encoders
+    project into the h1pre basis outside the kernel): forward values and
+    gradients w.r.t. the preprojected input and every weight must match
+    the reference."""
+    parts, w1s, b1, w2, b2, w3, b3, gamma, beta, pres = _mk(21, n_pre=1)
+    w1_full = jnp.concatenate(w1s, axis=0)
+
+    def loss_fused(a):
+        b1_, w2_, b2_, w3_, b3_, pre_ = a
+        out = fused_mlp_ln_parts([], w1_full, b1_.reshape(-1), w2_,
+                                 b2_.reshape(-1), w3_, b3_.reshape(-1),
+                                 gamma.reshape(-1), beta.reshape(-1),
+                                 dtype=jnp.bfloat16, pres=(pre_,),
+                                 w1_rows=[])
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss_ref(a):
+        b1_, w2_, b2_, w3_, b3_, pre_ = a
+        # reference: h1pre = b1 + pre (f32), rest of the chain identical
+        out = _ref((pre_ * 0,), ((w2_ * 0)[:128],), b1_, w2_, b2_, w3_,
+                   b3_, gamma, beta, pres=(pre_,))
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    args = (b1, w2, b2, w3, b3, pres[0])
+    out_f = fused_mlp_ln_parts([], w1_full, b1.reshape(-1), w2,
+                               b2.reshape(-1), w3, b3.reshape(-1),
+                               gamma.reshape(-1), beta.reshape(-1),
+                               dtype=jnp.bfloat16, pres=(pres[0],),
+                               w1_rows=[])
+    out_r = _ref((pres[0] * 0,), (jnp.zeros((128, 128), jnp.bfloat16),),
+                 b1, w2, b2, w3, b3, gamma, beta, pres=(pres[0],))
+    np.testing.assert_allclose(np.asarray(out_f, np.float32),
+                               np.asarray(out_r, np.float32),
+                               rtol=0.05, atol=0.05)
+
+    gf = jax.grad(loss_fused)(args)
+    gr = jax.grad(loss_ref)(args)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gr)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = max(1.0, np.abs(b).max())
+        np.testing.assert_allclose(a / scale, b / scale, rtol=0.06,
+                                   atol=0.06)
+
+
 def test_fused_premlp_res_matches_reference():
     """Pre-LN 1-hidden MLP + residual kernel (the Transolver MLP branch):
     forward and all gradients vs a pure-jnp reference."""
