@@ -1,0 +1,76 @@
+"""On-TPU correctness check of the fused slice-attention pooling kernel
+(Mosaic-compiled behavior differs from interpret mode: the in-kernel
+[T, H, G] reshape/reductions, grid-scratch accumulation across row tiles,
+per-lane flush at the last tile). Compares forward values and gradients
+against the pure-jnp reference under jax.vmap at bench-like shapes.
+Prints PASS/FAIL per check."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    from gen_fvgn_tpu.utils.jax_setup import setup_cache
+    setup_cache()
+    import jax
+    import jax.numpy as jnp
+    from tests.test_fused_slice_attn import H, G, DH, _mk, _ref_pool
+    from gen_fvgn_tpu.ops.fused_slice_attn import fused_slice_pool
+
+    bd_mask = jnp.asarray(
+        np.kron(np.eye(H, dtype=np.float32), np.ones((G, DH), np.float32)))
+
+    b, m = 4, 10496
+    sets = [_mk(40 + i, m=m) for i in range(b)]
+    xs = jnp.stack([s[0] for s in sets])
+    masks = jnp.stack([s[1] for s in sets])
+    ws = sets[0][2:]
+
+    def one_f(x_, m_):
+        return fused_slice_pool(
+            x_, m_, ws[0], ws[1].reshape(-1), ws[2], ws[3].reshape(-1),
+            ws[4], ws[5].reshape(-1), ws[6].reshape(-1),
+            heads=H, slice_num=G)
+
+    def one_r(x_, m_):
+        return _ref_pool(x_, m_, *ws)
+
+    def loss(fn, x_all):
+        w, tok, norm = jax.vmap(fn)(x_all, masks)
+        tokd = tok * bd_mask
+        return (jnp.sum(w.astype(jnp.float32) ** 2)
+                + 1e-2 * jnp.sum(tokd ** 2) + 1e-3 * jnp.sum(norm ** 2))
+
+    ok = True
+    # forward
+    wf, tokf, normf = jax.jit(jax.vmap(one_f))(xs, masks)
+    wr, tokr, normr = jax.jit(jax.vmap(one_r))(xs, masks)
+    for name, a_, b_ in (("w", wf, wr), ("tok", tokf * bd_mask,
+                                         tokr * bd_mask),
+                         ("norm", normf, normr)):
+        a_ = np.asarray(a_, np.float32)
+        b_ = np.asarray(b_, np.float32)
+        err = float(np.abs(a_ - b_).max() / max(1.0, np.abs(b_).max()))
+        status = "PASS" if err < 0.05 else "FAIL"
+        ok &= status == "PASS"
+        print(f"fwd {name:5s} rel-err {err:.4f}  {status}")
+    # gradients
+    gf = jax.jit(jax.grad(lambda x_: loss(one_f, x_)))(xs)
+    gr = jax.jit(jax.grad(lambda x_: loss(one_r, x_)))(xs)
+    a_ = np.asarray(gf, np.float32)
+    b_ = np.asarray(gr, np.float32)
+    err = float(np.abs(a_ - b_).max() / max(1.0, np.abs(b_).max()))
+    status = "PASS" if err < 0.08 else "FAIL"
+    ok &= status == "PASS"
+    print(f"grad dx    rel-err {err:.4f}  {status}")
+    print("backend:", jax.default_backend(), "->",
+          "ALL PASS" if ok else "FAILURES")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -53,18 +53,21 @@ def main():
             pools[node_agg] = (cfg, static, dyn, state, apply_fn)
         return pools[node_agg]
 
+    from gen_fvgn_tpu.models import transolver as tr
+
     tiles_std = (512, 256, 128)
-    # (name, pallas_spmm, pallas_take, node_agg)
+    # (name, pallas_spmm, pallas_take, node_agg, fused_attn)
     variants = (
-        ("default", None, False, "composed"),
-        ("pltake", None, True, "composed"),
-        ("binner", "binner", False, "composed"),
-        ("xla", False, False, "composed"),
-        ("default2", None, False, "composed"),
-        ("pltake2", None, True, "composed"),
+        ("default", None, False, "composed", True),
+        ("noattn", None, False, "composed", False),
+        ("pltake", None, True, "composed", True),
+        ("binner", "binner", False, "composed", True),
+        ("xla", False, False, "composed", False),
+        ("default2", None, False, "composed", True),
+        ("noattn2", None, False, "composed", False),
     )
     only = os.environ.get("AB_ONLY")
-    for name, spmm, take, agg in variants:
+    for name, spmm, take, agg, fattn in variants:
         if only and only != name:
             continue
         cfg, static, dyn, state, apply_fn = setup(agg)
@@ -73,12 +76,14 @@ def main():
         else:
             bs.use_pallas_spmm(spmm)
         bs.use_pallas_take(take)
+        tr.use_fused_attn(fattn)
         step = make_train_step_block(cfg, apply_fn, donate=False)
         ms = time_step(step, state, dyn, static)
         print(f"{name:9s}: {ms:7.2f} ms/step  ({1e3 / ms:.2f} steps/s)",
               flush=True)
     bs.use_pallas_spmm(None)
     bs.use_pallas_take(False)
+    tr.use_fused_attn(True)
     fm.set_tile_m_candidates(tiles_std)
 
 

@@ -348,21 +348,24 @@ def test_full_forward_matches(setup):
                                rtol=1e-2, atol=1e-3)
 
 
-def test_block_loss_grad_fused_vs_unfused():
+@pytest.mark.parametrize("heads,slices", [(4, 8), (8, 32)])
+def test_block_loss_grad_fused_vs_unfused(heads, slices):
     """Loss-GRADIENT equivalence: bf16 block engine with the fused Pallas
     MLP kernels vs the same engine with the unfused layer chain. Covers the
     residual/pres cotangent routing (res_idx, res_dual, Gathered-part
     projections) end to end under the real batched training loss — a routing
     bug would corrupt training gradients silently (round-2 advisor
-    finding)."""
+    finding). The (8, 32) point is the bench head/slice config, whose
+    H·G=256 lane-aligned width also routes the Transolver attention through
+    the fused slice-pool kernel (ops/fused_slice_attn.py)."""
     from gen_fvgn_tpu.models import mlp as mlp_mod
     from gen_fvgn_tpu.training.forward import training_loss
     from gen_fvgn_tpu.training.forward_block import forward_batch_block
     from gen_fvgn_tpu.training.train_block import init_train_state_block
 
     cfg = Config(batch_size=2, dataset_size=2, mxu_dtype="bfloat16",
-                 hidden_size=128, message_passing_num=1, slice_num=8,
-                 attn_heads=4)
+                 hidden_size=128, message_passing_num=1, slice_num=slices,
+                 attn_heads=heads)
     raw = rcm_reorder({k: v for k, v in cavity_quad_mesh(6).items()})
     mesh = compile_mesh(raw)
     case = synthetic_case(mesh, continuity=1, convection=1, grad_p=1,
