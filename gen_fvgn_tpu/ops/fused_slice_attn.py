@@ -59,6 +59,37 @@ from gen_fvgn_tpu.ops.fused_mlp import _interpret, _pick_tile_m
 
 _F32 = jnp.float32
 
+# Grouped (per-head, G-lane) reductions inside the kernel: "reshape" views
+# the [T, H·G] row as [T, H, G] and reduces the minor axis; "matmul"
+# multiplies by a block-diagonal ones matrix (rank-2 only — fallback if
+# Mosaic rejects the rank-3 relayout) with the GLOBAL row max as the
+# softmax shift (any per-row constant ≥ the group max is a valid shift).
+_GROUP_MODE = "reshape"
+
+
+def set_group_mode(mode: str) -> None:
+    global _GROUP_MODE
+    assert mode in ("reshape", "matmul")
+    _GROUP_MODE = mode
+
+
+def _group_ones(h: int, g: int):
+    """[H·G, H·G] block-diagonal ones — same-head lane groups. Built from
+    in-kernel iotas (a captured jnp constant is rejected by pallas_call)."""
+    hg = h * g
+    ii = jax.lax.broadcasted_iota(jnp.int32, (hg, hg), 0) // g
+    jj = jax.lax.broadcasted_iota(jnp.int32, (hg, hg), 1) // g
+    return (ii == jj).astype(_F32)
+
+
+def _group_sum(v, h: int, g: int):
+    """Σ over each head's G lanes, broadcast back to [T, H·G]."""
+    t = v.shape[0]
+    if _GROUP_MODE == "reshape":
+        s3 = jnp.sum(v.reshape(t, h, g), axis=-1, keepdims=True)
+        return jnp.broadcast_to(s3, (t, h, g)).reshape(t, h * g)
+    return jnp.dot(v, _group_ones(h, g), preferred_element_type=_F32)
+
 
 def _slice_core(x, mask, wfx, bfx, wx, bx, wsl, bsl, it, h: int, g: int):
     """Recomputable forward chain for one [T, C] tile. Returns
@@ -74,10 +105,14 @@ def _slice_core(x, mask, wfx, bfx, wx, bx, wsl, bsl, it, h: int, g: int):
     l32 = l16.astype(_F32)
     s = l32 * it.astype(_F32)                             # logits / temp
     t = s.shape[0]
-    s3 = s.reshape(t, h, g)
-    e = jnp.exp(s3 - jnp.max(s3, axis=-1, keepdims=True))
-    w3 = e / jnp.sum(e, axis=-1, keepdims=True)
-    w = w3.reshape(t, h * g)                              # [T, HG] f32
+    if _GROUP_MODE == "reshape":
+        s3 = s.reshape(t, h, g)
+        e3 = jnp.exp(s3 - jnp.max(s3, axis=-1, keepdims=True))
+        w3 = e3 / jnp.sum(e3, axis=-1, keepdims=True)
+        w = w3.reshape(t, h * g)                          # [T, HG] f32
+    else:
+        e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+        w = e / _group_sum(e, h, g)
     w_m = w * mask.astype(_F32)                           # [T, HG]
     return fx, xm, l32, w, w_m
 
@@ -142,11 +177,8 @@ def _make_bwd_kernel(h: int, g: int, n_t: int):
         dw_all = dw_ref[0].astype(_F32) + dw_m * mask
 
         # grouped-softmax backward (+ temperature-row cotangent)
-        t = dw_all.shape[0]
-        w3 = w.reshape(t, h, g)
-        dw3 = dw_all.reshape(t, h, g)
-        inner = jnp.sum(w3 * dw3, axis=-1, keepdims=True)
-        ds = (w3 * (dw3 - inner)).reshape(t, h * g)       # [T, HG] f32
+        inner = _group_sum(w * dw_all, h, g)
+        ds = w * (dw_all - inner)                         # [T, HG] f32
         a_it[...] += jnp.sum(ds * l32, axis=0, keepdims=True)
         dl = ds * it                                      # [T, HG]
         dl16 = dl.astype(dt)

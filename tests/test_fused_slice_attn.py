@@ -66,11 +66,20 @@ def _close(a, b, tol=0.05):
     np.testing.assert_allclose(a / scale, b / scale, rtol=tol, atol=tol)
 
 
-def test_fused_slice_pool_forward():
+@pytest.mark.parametrize("group_mode", ["reshape", "matmul"])
+def test_fused_slice_pool_forward(group_mode):
+    from gen_fvgn_tpu.ops import fused_slice_attn as fsa
     x, mask, *ws = _mk(0)
-    w_f, tok_f, norm_f = fused_slice_pool(
-        x, mask, ws[0], ws[1].reshape(-1), ws[2], ws[3].reshape(-1),
-        ws[4], ws[5].reshape(-1), ws[6].reshape(-1), heads=H, slice_num=G)
+    try:
+        fsa.set_group_mode(group_mode)
+        fsa._make_slice_pool.cache_clear()
+        w_f, tok_f, norm_f = fused_slice_pool(
+            x, mask, ws[0], ws[1].reshape(-1), ws[2], ws[3].reshape(-1),
+            ws[4], ws[5].reshape(-1), ws[6].reshape(-1),
+            heads=H, slice_num=G)
+    finally:
+        fsa.set_group_mode("reshape")
+        fsa._make_slice_pool.cache_clear()
     w_r, tok_r, norm_r = _ref_pool(x, mask, *ws)
     _close(w_f, w_r)
     # only the per-head diagonal blocks of tok_full are contractual
