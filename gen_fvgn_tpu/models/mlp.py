@@ -203,6 +203,25 @@ class Mlp(nn.Module):
                         if isinstance(out, tuple) else unflat(out))
             return out
 
+        if (dt == jnp.bfloat16 and _FUSED_ENABLED and ln is None
+                and self.num_hidden_layers == 2 and len(parts) == 1
+                and not isinstance(parts[0], (Gathered, GatheredPair))
+                and parts[0].ndim in (2, 3) and k_total % 128 == 0
+                and self.hidden_size % 128 == 0
+                and self.residual_part is None):
+            # no-LN fused chain (the Decoder): narrow output head padded to
+            # 128 lanes inside the wrapper
+            from gen_fvgn_tpu.ops.fused_mlp import fused_mlp_noln_parts
+            (w1, b1), (w2, b2) = hidden
+            x0 = parts[0]
+            lead = x0.shape[:-1]
+            flat = x0.reshape(-1, x0.shape[-1]) if len(lead) == 2 else x0
+            out = fused_mlp_noln_parts(flat, w1, b1, w2, b2, w_out, b_out,
+                                       dtype=dt)
+            if len(lead) == 2:
+                return out.reshape(lead + (out.shape[-1],))
+            return out
+
         if any(isinstance(p, (Gathered, GatheredPair)) for p in parts):
             from gen_fvgn_tpu.ops.blocksparse import apply_linop
 

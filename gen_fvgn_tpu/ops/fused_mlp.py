@@ -577,6 +577,148 @@ def _premlp_bwd(res, g):
 fused_premlp_res.defvjp(_premlp_fwd, _premlp_bwd)
 
 
+# ---------------------------------------------------------------------------
+# No-LN 2-hidden MLP (the Decoder: 128 -> 128 -> 128 -> out_size, out_size
+# tiny and not lane-aligned): same fused chain as the main kernel minus the
+# LayerNorm epilogue. The narrow output is zero-padded to a 128-lane W3 at
+# dispatch (pad columns are exact zeros through the chain) and sliced
+# outside; the slice's autodiff zero-pads the incoming cotangent, so the
+# custom_vjp works on padded shapes only.
+# ---------------------------------------------------------------------------
+
+
+def _noln_fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                     out_ref):
+    _, _, _, _, y = _fwd_core(
+        [x_ref[:]], [w1_ref[:]], b1_ref[:].astype(jnp.float32),
+        w2_ref[:], b2_ref[:].astype(jnp.float32),
+        w3_ref[:], b3_ref[:].astype(jnp.float32))
+    out_ref[:] = y.astype(out_ref.dtype)
+
+
+def _noln_bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                     dout_ref, dx_ref, adw1_ref, adb1_ref, adw2_ref,
+                     adb2_ref, adw3_ref, adb3_ref):
+    x = x_ref[:]
+    dt = x.dtype
+    h1pre, h1, h2pre, h2, _ = _fwd_core(
+        [x], [w1_ref[:]], b1_ref[:].astype(jnp.float32),
+        w2_ref[:], b2_ref[:].astype(jnp.float32),
+        w3_ref[:], b3_ref[:].astype(jnp.float32))
+    dy = dout_ref[:].astype(jnp.float32)
+    dy16 = dy.astype(dt)
+    adw3_ref[0] = jnp.dot(h2.astype(dt).T, dy16,
+                          preferred_element_type=jnp.float32)
+    adb3_ref[0] = jnp.sum(dy, axis=0, keepdims=True)
+    dh2 = jnp.dot(dy16, w3_ref[:].T, preferred_element_type=jnp.float32)
+    dh2pre = dh2 * _gelu_tanh_grad(h2pre)
+    dh2pre16 = dh2pre.astype(dt)
+    adw2_ref[0] = jnp.dot(h1.astype(dt).T, dh2pre16,
+                          preferred_element_type=jnp.float32)
+    adb2_ref[0] = jnp.sum(dh2pre, axis=0, keepdims=True)
+    dh1 = jnp.dot(dh2pre16, w2_ref[:].T, preferred_element_type=jnp.float32)
+    dh1pre = dh1 * _gelu_tanh_grad(h1pre)
+    dh1pre16 = dh1pre.astype(dt)
+    adw1_ref[0] = jnp.dot(x.T, dh1pre16,
+                          preferred_element_type=jnp.float32)
+    adb1_ref[0] = jnp.sum(dh1pre, axis=0, keepdims=True)
+    dx_ref[:] = jnp.dot(dh1pre16, w1_ref[:].T,
+                        preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+
+
+@jax.custom_vjp
+def fused_mlp_noln(x, w1, b1, w2, b2, w3, b3):
+    """y = W3·gelu(W2·gelu(W1·x + b1) + b2) + b3, no LN; all widths
+    lane-aligned (the caller pads W3/b3), x [M, K] with M a 256-multiple."""
+    out, _ = _noln_fwd(x, w1, b1, w2, b2, w3, b3)
+    return out
+
+
+def _noln_fwd(x, w1, b1, w2, b2, w3, b3):
+    m, k = x.shape
+    h = w2.shape[0]
+    d = w3.shape[1]
+    tm = _pick_tile_m(m)
+    out = pl.pallas_call(
+        _noln_fwd_kernel,
+        grid=(m // tm,),
+        cost_estimate=_mlp_cost(m, k, h, d, 1, m * (k + d) * 2),
+        in_specs=[_tile_spec(k, tm), _const_spec((k, h)), _const_spec((1, h)),
+                  _const_spec((h, h)), _const_spec((1, h)),
+                  _const_spec((h, d)), _const_spec((1, d))],
+        out_specs=_tile_spec(d, tm),
+        out_shape=jax.ShapeDtypeStruct((m, d), x.dtype),
+        interpret=_interpret(),
+    )(x, w1, b1, w2, b2, w3, b3)
+    return out, (x, w1, b1, w2, b2, w3, b3)
+
+
+def _noln_bwd(res, g):
+    x, w1, b1, w2, b2, w3, b3 = res
+    m, k = x.shape
+    h = w2.shape[0]
+    d = w3.shape[1]
+    tm = _pick_tile_m(m)
+    n_tiles = m // tm
+    f32 = jnp.float32
+
+    def _p(shape):
+        nd = len(shape)
+        return pl.BlockSpec((1,) + shape, lambda i: (i,) + (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        _noln_bwd_kernel,
+        grid=(n_tiles,),
+        cost_estimate=_mlp_cost(
+            m, k, h, d, 3,
+            2 * m * (k + d) * 2 + n_tiles * (k * h + h * h + h * d) * 4),
+        in_specs=[_tile_spec(k, tm), _const_spec((k, h)), _const_spec((1, h)),
+                  _const_spec((h, h)), _const_spec((1, h)),
+                  _const_spec((h, d)), _const_spec((1, d)),
+                  _tile_spec(d, tm)],
+        out_specs=[_tile_spec(k, tm), _p((k, h)), _p((1, h)), _p((h, h)),
+                   _p((1, h)), _p((h, d)), _p((1, d))],
+        out_shape=[jax.ShapeDtypeStruct((m, k), x.dtype),
+                   jax.ShapeDtypeStruct((n_tiles, k, h), f32),
+                   jax.ShapeDtypeStruct((n_tiles, 1, h), f32),
+                   jax.ShapeDtypeStruct((n_tiles, h, h), f32),
+                   jax.ShapeDtypeStruct((n_tiles, 1, h), f32),
+                   jax.ShapeDtypeStruct((n_tiles, h, d), f32),
+                   jax.ShapeDtypeStruct((n_tiles, 1, d), f32)],
+        interpret=_interpret(),
+    )(x, w1, b1, w2, b2, w3, b3, g)
+    dx, pdw1, pdb1, pdw2, pdb2, pdw3, pdb3 = outs
+    cast = lambda t, like: t.sum(0).astype(like.dtype)
+    return (dx, cast(pdw1, w1), cast(pdb1, b1), cast(pdw2, w2),
+            cast(pdb2, b2), cast(pdw3, w3), cast(pdb3, b3))
+
+
+fused_mlp_noln.defvjp(_noln_fwd, _noln_bwd)
+
+
+def fused_mlp_noln_parts(x, w1, b1, w2, b2, w3, b3, dtype=jnp.bfloat16):
+    """Dispatch wrapper for the Decoder: casts the stream, pads the narrow
+    output head to 128 lanes (zeros — exact through the chain), pads M to
+    a 256-multiple, slices both pads off the result."""
+    m = x.shape[0]
+    d = w3.shape[1]
+    m_pad = ((m + 255) // 256) * 256
+    d_pad = ((d + 127) // 128) * 128
+    x16 = x.astype(dtype)
+    if m_pad != m:
+        x16 = jnp.pad(x16, ((0, m_pad - m), (0, 0)))
+    w3p = w3.astype(dtype)
+    b3p = b3.reshape(1, -1)
+    if d_pad != d:
+        w3p = jnp.pad(w3p, ((0, 0), (0, d_pad - d)))
+        b3p = jnp.pad(b3p, ((0, 0), (0, d_pad - d)))
+    row = lambda v: v.reshape(1, -1)
+    out = fused_mlp_noln(x16, w1.astype(dtype), row(b1), w2.astype(dtype),
+                         row(b2), w3p, b3p)
+    return out[:m, :d]
+
+
 def fused_premlp_res_parts(x, ln_scale, ln_bias, w1, b1, w2, b2,
                            dtype=jnp.bfloat16):
     """Dispatch wrapper: casts the stream/weights, row-shapes the 1-D

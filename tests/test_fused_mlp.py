@@ -196,6 +196,74 @@ def test_fused_pres_only_forward_and_gradients():
                                    atol=0.06)
 
 
+def test_fused_noln_decoder_forward_and_gradients():
+    """No-LN fused chain (the Decoder head): forward + all gradients vs
+    the pure-jnp reference, with the narrow 3-lane output head (padded to
+    128 inside the wrapper) and a non-256 M (padded+sliced)."""
+    from gen_fvgn_tpu.ops.fused_mlp import fused_mlp_noln_parts
+
+    rng = np.random.default_rng(31)
+    bf16 = jnp.bfloat16
+    m, k, h, d = 300, 128, 128, 3
+    arr = lambda *s, sc=0.3: jnp.asarray(
+        rng.normal(size=s).astype(np.float32) * sc, dtype=bf16)
+    x = arr(m, k, sc=1.0)
+    w1, b1 = arr(k, h), arr(h, sc=0.1)
+    w2, b2 = arr(h, h), arr(h, sc=0.1)
+    w3, b3 = arr(h, d), arr(d, sc=0.1)
+
+    def ref(a):
+        x_, w1_, b1_, w2_, b2_, w3_, b3_ = a
+        f32 = jnp.float32
+        h1 = jax.nn.gelu(jnp.dot(x_, w1_, preferred_element_type=f32)
+                         + b1_.astype(f32), approximate=True)
+        h2 = jax.nn.gelu(jnp.dot(h1.astype(bf16), w2_,
+                                 preferred_element_type=f32)
+                         + b2_.astype(f32), approximate=True)
+        y = jnp.dot(h2.astype(bf16), w3_, preferred_element_type=f32) \
+            + b3_.astype(f32)
+        return y.astype(bf16)
+
+    args = (x, w1, b1, w2, b2, w3, b3)
+    out = fused_mlp_noln_parts(*args)
+    want = ref(args)
+    assert out.shape == (m, d)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0.05, atol=0.05)
+
+    loss_f = lambda a: jnp.sum(
+        fused_mlp_noln_parts(*a).astype(jnp.float32) ** 2)
+    loss_r = lambda a: jnp.sum(ref(a).astype(jnp.float32) ** 2)
+    gf = jax.grad(loss_f)(args)
+    gr = jax.grad(loss_r)(args)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gr)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = max(1.0, np.abs(b).max())
+        np.testing.assert_allclose(a / scale, b / scale, rtol=0.06,
+                                   atol=0.06)
+
+    # vmapped (the engine's batching path): values + per-lane dx
+    xs = jnp.stack([x, x * 0.5, -x])
+    vm = jax.vmap(lambda xx: fused_mlp_noln_parts(
+        xx, w1, b1, w2, b2, w3, b3))(xs)
+    vr = jax.vmap(lambda xx: ref((xx, w1, b1, w2, b2, w3, b3)))(xs)
+    np.testing.assert_allclose(np.asarray(vm, np.float32),
+                               np.asarray(vr, np.float32),
+                               rtol=0.05, atol=0.05)
+    gv = jax.grad(lambda s: jnp.sum(jax.vmap(
+        lambda xx: jnp.sum(fused_mlp_noln_parts(
+            xx, w1, b1, w2, b2, w3, b3).astype(jnp.float32) ** 2))(s)))(xs)
+    for i, xx in enumerate([x, x * 0.5, -x]):
+        g1 = jax.grad(lambda xa: jnp.sum(fused_mlp_noln_parts(
+            xa, w1, b1, w2, b2, w3, b3).astype(jnp.float32) ** 2))(xx)
+        np.testing.assert_allclose(np.asarray(gv[i], np.float32),
+                                   np.asarray(g1, np.float32),
+                                   rtol=0.06, atol=0.06)
+
+
 def test_fused_premlp_res_matches_reference():
     """Pre-LN 1-hidden MLP + residual kernel (the Transolver MLP branch):
     forward and all gradients vs a pure-jnp reference."""
