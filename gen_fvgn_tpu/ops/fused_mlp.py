@@ -248,6 +248,15 @@ def _tile_spec(cols, tile_m=TILE_M):
                         memory_space=pltpu.VMEM)
 
 
+def _acc_spec(shape):
+    """Per-M-tile PARTIAL accumulator output block [n_tiles, *shape] —
+    the backward kernels' weight-grad layout (see the partial-vs-
+    accumulation measurement note in _make_bwd_kernel)."""
+    nd = len(shape)
+    return pl.BlockSpec((1,) + shape, lambda i: (i,) + (0,) * nd,
+                        memory_space=pltpu.VMEM)
+
+
 
 def _mlp_cost(m: int, k_tot: int, h: int, d: int, factor: int,
               stream_bytes: int):
@@ -312,11 +321,6 @@ def _make_fused_fn(res_idx: Optional[int], res_dual: bool):
         f32 = jnp.float32
 
         n_tiles = m // tm
-
-        def _acc_spec(shape):
-            nd = len(shape)
-            return pl.BlockSpec((1,) + shape, lambda i: (i,) + (0,) * nd,
-                                memory_space=pltpu.VMEM)
 
         k_tot = sum(p.shape[1] for p in parts) + 128 * n_pre
         stream = 2 * (sum(int(p.size) * p.dtype.itemsize for p in parts)
@@ -542,11 +546,6 @@ def _premlp_bwd(res, g):
     n_tiles = m // tm
     f32 = jnp.float32
 
-    def _p(shape):
-        nd = len(shape)
-        return pl.BlockSpec((1,) + shape, lambda i: (i,) + (0,) * nd,
-                            memory_space=pltpu.VMEM)
-
     outs = pl.pallas_call(
         _premlp_bwd_kernel,
         grid=(n_tiles,),
@@ -557,8 +556,8 @@ def _premlp_bwd(res, g):
                   _const_spec((c, hdim)), _const_spec((1, hdim)),
                   _const_spec((hdim, c)), _const_spec((1, c)),
                   _tile_spec(c, tm)],
-        out_specs=[_tile_spec(c, tm), _p((1, c)), _p((1, c)), _p((c, hdim)),
-                   _p((1, hdim)), _p((hdim, c)), _p((1, c))],
+        out_specs=[_tile_spec(c, tm), _acc_spec((1, c)), _acc_spec((1, c)), _acc_spec((c, hdim)),
+                   _acc_spec((1, hdim)), _acc_spec((hdim, c)), _acc_spec((1, c))],
         out_shape=[jax.ShapeDtypeStruct((m, c), x.dtype),
                    jax.ShapeDtypeStruct((n_tiles, 1, c), f32),
                    jax.ShapeDtypeStruct((n_tiles, 1, c), f32),
@@ -662,11 +661,6 @@ def _noln_bwd(res, g):
     n_tiles = m // tm
     f32 = jnp.float32
 
-    def _p(shape):
-        nd = len(shape)
-        return pl.BlockSpec((1,) + shape, lambda i: (i,) + (0,) * nd,
-                            memory_space=pltpu.VMEM)
-
     outs = pl.pallas_call(
         _noln_bwd_kernel,
         grid=(n_tiles,),
@@ -677,8 +671,8 @@ def _noln_bwd(res, g):
                   _const_spec((h, h)), _const_spec((1, h)),
                   _const_spec((h, d)), _const_spec((1, d)),
                   _tile_spec(d, tm)],
-        out_specs=[_tile_spec(k, tm), _p((k, h)), _p((1, h)), _p((h, h)),
-                   _p((1, h)), _p((h, d)), _p((1, d))],
+        out_specs=[_tile_spec(k, tm), _acc_spec((k, h)), _acc_spec((1, h)), _acc_spec((h, h)),
+                   _acc_spec((1, h)), _acc_spec((h, d)), _acc_spec((1, d))],
         out_shape=[jax.ShapeDtypeStruct((m, k), x.dtype),
                    jax.ShapeDtypeStruct((n_tiles, k, h), f32),
                    jax.ShapeDtypeStruct((n_tiles, 1, h), f32),

@@ -62,8 +62,12 @@ _F32 = jnp.float32
 # Grouped (per-head, G-lane) reductions inside the kernel: "reshape" views
 # the [T, H·G] row as [T, H, G] and reduces the minor axis; "matmul"
 # multiplies by a block-diagonal ones matrix (rank-2 only — fallback if
-# Mosaic rejects the rank-3 relayout) with the GLOBAL row max as the
-# softmax shift (any per-row constant ≥ the group max is a valid shift).
+# Mosaic rejects the rank-3 relayout) with the per-GROUP MEAN as the
+# softmax shift. The mean is matmul-computable and keeps each group's max
+# term exp(max−mean) ≥ 1, so the denominator can never underflow to 0/0
+# (a GLOBAL row-max shift would zero out whole heads whose logits sit
+# ≳88 below another head's — NaN). Residual risk: within-head logit
+# spread > ~88 overflows exp(max−mean); unreachable for O(10) logits.
 _GROUP_MODE = "reshape"
 
 
@@ -111,7 +115,7 @@ def _slice_core(x, mask, wfx, bfx, wx, bx, wsl, bsl, it, h: int, g: int):
         w3 = e3 / jnp.sum(e3, axis=-1, keepdims=True)
         w = w3.reshape(t, h * g)                          # [T, HG] f32
     else:
-        e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+        e = jnp.exp(s - _group_sum(s, h, g) * (1.0 / g))
         w = e / _group_sum(e, h, g)
     w_m = w * mask.astype(_F32)                           # [T, HG]
     return fx, xm, l32, w, w_m

@@ -110,7 +110,8 @@ def test_mixed_single_case_matches_standard_step(norm_global):
         frac = float(bad.mean())
         assert frac <= 0.03, \
             f"{frac:.1%} of entries deviate at {jax.tree_util.keystr(pa)}"
-        assert float(np.abs(a - b).max()) <= 1.1 * cfg.lr, \
+        # worst case of the noise model is a sign flip: +lr vs -lr = 2*lr
+        assert float(np.abs(a - b).max()) <= 2.2 * cfg.lr, \
             f"super-Adam-step deviation at {jax.tree_util.keystr(pa)}"
     for name in ("acc_sum", "acc_sum_sq", "acc_count", "num_acc"):
         np.testing.assert_allclose(
@@ -119,22 +120,24 @@ def test_mixed_single_case_matches_standard_step(norm_global):
             rtol=1e-6, err_msg=f"norm_state.{name}")
 
 
-def test_mixed_two_case_gradient_exactness():
+@pytest.mark.parametrize("node_agg,g_rtol,g_atol", [
+    ("split", 1e-5, 1e-7), ("composed", 1e-3, 2e-5)])
+def test_mixed_two_case_gradient_exactness(node_agg, g_rtol, g_atol):
     """A genuinely mixed batch (3 quad + 1 tri, the quad group padded) must
     produce EXACTLY the weighted sum of per-group batch-mean gradients,
     with the normalizer accumulation hoisted over BOTH groups first.
 
     node_agg="split" pins the identity at near-f32-exact tolerance. The
-    default "composed" aggregation contracts through bf16 path-count
-    operators whose jitted/eager reduction orders differ more (observed
-    ≤1e-5 absolute on ~1e-2-scale gradients) — same identity, wider noise
-    floor."""
+    shipped default "composed" contracts through bf16 path-count operators
+    whose jitted/eager reduction orders differ more (observed ≤1e-5
+    absolute on ~1e-2-scale gradients) — the identity is asserted under
+    the default too, at that noise floor."""
     from gen_fvgn_tpu.training import normalizer as norm_mod
     from gen_fvgn_tpu.training.forward import training_loss
     from gen_fvgn_tpu.training.forward_block import forward_batch_block
 
     cfg = Config(batch_size=4, dataset_size=8, norm_global=True,
-                 **{**BASE, "node_agg": "split"})
+                 **{**BASE, "node_agg": node_agg})
     pool = _two_case_pool(cfg)
     by_case = {}
     for i, env in enumerate(pool.envs):
@@ -223,7 +226,7 @@ def test_mixed_two_case_gradient_exactness():
             jax.tree_util.tree_flatten_with_path(acc["gsum"])[0],
             jax.tree_util.tree_flatten_with_path(exp_grads)[0]):
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7,
+            np.asarray(a), np.asarray(b), rtol=g_rtol, atol=g_atol,
             err_msg=f"grad mismatch at {jax.tree_util.keystr(pa)}")
 
 
