@@ -57,6 +57,10 @@ class Config:
     dtype: str = "float32"             # compute dtype for the network
     mxu_dtype: str = "bfloat16"        # matmul input dtype ("float32" to disable)
     dp_devices: int = 1                # data-parallel shard count of the batch axis
+    sp_devices: int = 1                # spatial (domain-decomposition) shard
+                                       # count: block-engine operators shard
+                                       # on out-tiles over a (dp, sp) mesh
+                                       # (parallel/sp.py); 1 = off
     engine: str = "segment"            # {"segment", "block"} sparse-op engine
     tile: int = 256                    # block-engine dense tile size
     fv_packed: bool = True             # block engine: run the FV residual

@@ -154,6 +154,10 @@ def _train_block(cfg, case_dirs, cases, log_base_dir, seed, n_epochs,
                                                    init_train_state_block,
                                                    make_train_step_block)
 
+    if getattr(cfg, "sp_devices", 1) > 1:
+        # full operator sharding needs every entity padded to tile*sp rows
+        # (parallel/sp.py::_put falls back to replication otherwise)
+        pad_multiple = max(pad_multiple, cfg.tile * cfg.sp_devices)
     pool = EnvPool(case_dirs, cfg, seed=seed, pad_multiple=pad_multiple,
                    cases=cases, engine="block", tile=cfg.tile)
     cfg = cfg.replace(dataset_size=len(pool))
@@ -175,10 +179,28 @@ def _train_block(cfg, case_dirs, cases, log_base_dir, seed, n_epochs,
     step = make_train_step_block(cfg, apply_fn)
 
     # data parallelism: dyn batch sharded over the dp mesh, params/opt state
-    # and the per-case StaticPacks replicated (operators are shared weights)
+    # and the per-case StaticPacks replicated (operators are shared weights).
+    # With sp_devices > 1 the mesh gains a spatial axis: operators shard on
+    # their out-tile dim and entity statics row-shard (parallel/sp.py).
     mesh = None
     statics = pool.statics
-    if cfg.dp_devices > 1:
+    sp_n = getattr(cfg, "sp_devices", 1)
+    if sp_n > 1:
+        from gen_fvgn_tpu.ops import blocksparse as _bs
+        from gen_fvgn_tpu.parallel.sp import (make_dp_sp_mesh,
+                                              replicate_state,
+                                              shard_block_batch_dp,
+                                              shard_static_sp)
+        if cfg.batch_size % max(cfg.dp_devices, 1):
+            raise ValueError(f"batch_size {cfg.batch_size} not divisible by "
+                             f"dp_devices {cfg.dp_devices}")
+        _bs.use_pallas_spmm(False)   # single-device kernels; XLA path
+        mesh = make_dp_sp_mesh(max(cfg.dp_devices, 1), sp_n)
+        state = replicate_state(state, mesh)
+        statics = [shard_static_sp(s, mesh) for s in pool.statics]
+        shard_block_batch = (lambda dyn_, m_, batch_size:
+                             shard_block_batch_dp(dyn_, m_, batch_size))
+    elif cfg.dp_devices > 1:
         from gen_fvgn_tpu.parallel.dp import (make_mesh, shard_block_batch,
                                               shard_static,
                                               shard_train_state)

@@ -35,6 +35,7 @@ def main(argv=None):
     ap.add_argument("--max-inner-steps", type=int, default=20)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dp-devices", type=int, default=1)
+    ap.add_argument("--sp-devices", type=int, default=1)
     ap.add_argument("--mxu-dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
     ap.add_argument("--engine", default="block",
@@ -67,7 +68,8 @@ def main(argv=None):
         dataset_size=args.dataset_size, lr=args.lr, order=args.order,
         integrator=args.integrator, conserved_form=bool(args.conserved_form),
         max_inner_steps=args.max_inner_steps, dataset_dir=args.dataset_dir,
-        dp_devices=args.dp_devices, mxu_dtype=args.mxu_dtype,
+        dp_devices=args.dp_devices, sp_devices=args.sp_devices,
+        mxu_dtype=args.mxu_dtype,
         engine=args.engine, bucket_tiers=bool(args.bucket_tiers),
         export_on_reset=bool(args.export_on_reset),
         microbatch=args.microbatch,

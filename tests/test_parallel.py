@@ -133,3 +133,68 @@ def test_block_train_loop_honors_dp_devices(tmp_path):
                     jax.tree_util.tree_leaves(s8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=5 * lr)
+
+
+def test_block_engine_dp_sp_matches_single_device():
+    """Spatial partitioning (parallel/sp.py): block-engine step on a 2x4
+    (dp x sp) mesh — operators sharded on out-tiles, entity statics
+    row-sharded, batch over dp — must reproduce the unsharded step (same
+    ops, same order; GSPMD only partitions them)."""
+    from gen_fvgn_tpu.parallel.sp import (make_dp_sp_mesh, replicate_state,
+                                          shard_block_batch_dp,
+                                          shard_static_sp)
+    from gen_fvgn_tpu.training.pool import EnvPool
+    from gen_fvgn_tpu.training.train_block import (init_train_state_block,
+                                                   make_train_step_block)
+    from gen_fvgn_tpu.meshes.synthetic import cavity_quad_mesh, synthetic_case
+
+    cfg = Config(batch_size=8, dataset_size=8, mxu_dtype="float32",
+                 hidden_size=32, message_passing_num=1, slice_num=8,
+                 attn_heads=4)
+    case = synthetic_case(cavity_quad_mesh(5), continuity=1, convection=1,
+                          grad_p=1, mu=0.05, sigma=(1, 1, 1))
+    # pad entities to tile*sp rows so every operator out-tile dim divides
+    # by sp (the full-sharding contract; see parallel/sp.py::_put)
+    pool = EnvPool([], cfg, seed=0, cases=[case], dataset_size=8,
+                   engine="block", pad_multiple=256 * 4)
+    dyn = pool.gather_block(np.arange(8))
+    static = pool.statics[0]
+    state, apply_fn = init_train_state_block(cfg, dyn, static, seed=0)
+    step = make_train_step_block(cfg, apply_fn, donate=False)
+
+    s1, m1, u1 = step(state, dyn, static)
+
+    mesh = make_dp_sp_mesh(2, 4)
+    dyn_s = shard_block_batch_dp(dyn, mesh, batch_size=8)
+    state_s = replicate_state(state, mesh)
+    static_s = shard_static_sp(static, mesh)
+    # operators really distributed over sp
+    blocks = static_s.ops.adj.fwd.blocks
+    assert len(blocks.sharding.device_set) >= 4
+    s2, m2, u2 = step(state_s, dyn_s, static_s)
+
+    np.testing.assert_allclose(float(m1.loss), float(m2.loss), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), rtol=1e-4,
+                               atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2.2 * cfg.lr)
+
+
+def test_block_train_loop_honors_sp_devices(tmp_path):
+    """train(engine='block', sp_devices=4, dp_devices=2) must shard the
+    operators over sp (and auto-raise pad_multiple to tile*sp)."""
+    from gen_fvgn_tpu.meshes.synthetic import cavity_quad_mesh, synthetic_case
+    from gen_fvgn_tpu.training.loop import train
+
+    cfg = Config(batch_size=2, dataset_size=2, mxu_dtype="float32",
+                 hidden_size=32, message_passing_num=1, slice_num=8,
+                 attn_heads=4, max_inner_steps=1, engine="block",
+                 dp_devices=2, sp_devices=4, tile=256)
+    case = synthetic_case(cavity_quad_mesh(5), continuity=1, convection=1,
+                          grad_p=1, mu=0.05, sigma=(1, 1, 1))
+    state = train(cfg, cases=[case], seed=0, n_epochs=1,
+                  log_base_dir=str(tmp_path / "sp"), pad_multiple=8)
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
