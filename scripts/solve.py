@@ -30,6 +30,9 @@ def main(argv=None):
     ap.add_argument("--order", default="2nd")
     ap.add_argument("--net", default="TransFVGN_v2")
     ap.add_argument("--engine", default="segment", choices=["segment", "block"])
+    ap.add_argument("--sp-devices", type=int, default=1,
+                    help="spatial shards for the block engine (domain-"
+                         "decomposed operators over a device mesh)")
     args = ap.parse_args(argv)
 
     from gen_fvgn_tpu.config import Config
@@ -99,12 +102,28 @@ def _solve_block(cfg, args):
     from gen_fvgn_tpu.training.pool import EnvPool
     from gen_fvgn_tpu.training.train_block import init_train_state_block
 
-    pool = EnvPool([args.case], cfg, seed=0, engine="block")
+    sp_n = getattr(args, "sp_devices", 1)
+    pad = max(128, cfg.tile * sp_n) if sp_n > 1 else 128
+    pool = EnvPool([args.case], cfg, seed=0, engine="block",
+                   pad_multiple=pad)
     dyn = pool.gather_block(np.asarray([0]))
     static = pool.statics[0]
     state, apply_fn = init_train_state_block(cfg, dyn, static, seed=0)
     if args.checkpoint:
         state = load_state(args.checkpoint, like=state)
+    if sp_n > 1:
+        # domain-decomposed inference: operators sharded over sp (GSPMD),
+        # single sample -> dp=1 (parallel/sp.py)
+        from gen_fvgn_tpu.ops import blocksparse as _bs
+        from gen_fvgn_tpu.parallel.sp import (make_dp_sp_mesh,
+                                              replicate_state,
+                                              shard_block_batch_dp,
+                                              shard_static_sp)
+        _bs.use_pallas_spmm(False)
+        mesh2 = make_dp_sp_mesh(1, sp_n)
+        static = shard_static_sp(static, mesh2)
+        state = replicate_state(state, mesh2)
+        dyn = shard_block_batch_dp(dyn, mesh2, batch_size=1)
 
     mesh = pool.cases[0]["mesh"]
     n_nodes = mesh["node|pos"].shape[0]
