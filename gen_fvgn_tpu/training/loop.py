@@ -170,11 +170,11 @@ def _train_block(cfg, case_dirs, cases, log_base_dir, seed, n_epochs,
         state = load_state(resume_from, like=state)
     mixed = None
     if cfg.mixed_case_batches:
-        if cfg.dp_devices > 1:
+        if cfg.dp_devices > 1 or getattr(cfg, "sp_devices", 1) > 1:
             raise NotImplementedError(
-                "mixed_case_batches + dp sharding: per-case groups have "
+                "mixed_case_batches + dp/sp sharding: per-case groups have "
                 "data-dependent sizes that cannot shard evenly; use the "
-                "default stratified batches with dp")
+                "default stratified batches with dp/sp")
         mixed = MixedTrainStepBlock(cfg, apply_fn)
     step = make_train_step_block(cfg, apply_fn)
 
