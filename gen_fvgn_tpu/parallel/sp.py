@@ -31,6 +31,7 @@ dryrun exercises the XLA path.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Optional, Sequence
 
 import jax
@@ -38,8 +39,29 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gen_fvgn_tpu.graph.packs import StaticPack
-from gen_fvgn_tpu.graph.operators import MeshOperators
 from gen_fvgn_tpu.ops.blocksparse import BlockOp, LinOp
+
+
+@contextlib.contextmanager
+def single_device_kernels_disabled():
+    """The Pallas kernels (streaming spmm, fused MLP, fused slice
+    attention) are single-device programs; under sp sharding every apply
+    must take the XLA path so GSPMD can partition it. Enter this BEFORE
+    tracing/initializing anything (the toggles are process-global) and it
+    restores the defaults on exit, so a later sp=1 run in the same
+    process keeps the measured Pallas fast paths."""
+    from gen_fvgn_tpu.models import mlp as mlp_mod
+    from gen_fvgn_tpu.models import transolver as tr_mod
+    from gen_fvgn_tpu.ops import blocksparse as bs
+    bs.use_pallas_spmm(False)
+    mlp_mod.use_fused_mlp(False)
+    tr_mod.use_fused_attn(False)
+    try:
+        yield
+    finally:
+        bs.use_pallas_spmm(None)
+        mlp_mod.use_fused_mlp(True)
+        tr_mod.use_fused_attn(True)
 
 
 def make_dp_sp_mesh(dp: int, sp: int,
@@ -98,7 +120,9 @@ def shard_static_sp(static: StaticPack, mesh: Mesh) -> StaticPack:
     ops = static.ops
     row = lambda x: _put(mesh, x, P("sp"))
     repl = lambda x: _put(mesh, x, P())
-    new_ops = MeshOperators(
+    # .replace() (not a constructor call) so any FUTURE field passes
+    # through untouched instead of silently resetting to its default
+    new_ops = ops.replace(
         adj=_shard_linop(ops.adj, mesh),
         deg=row(ops.deg),
         gather_s=_shard_linop(ops.gather_s, mesh),
@@ -124,10 +148,8 @@ def shard_static_sp(static: StaticPack, mesh: Mesh) -> StaticPack:
         gpair_start=repl(ops.gpair_start),
         gpair_ls=repl(ops.gpair_ls),
         gpair_lr=repl(ops.gpair_lr),
-        gpair_w=ops.gpair_w, gpair_s=ops.gpair_s, gpair_pad=ops.gpair_pad,
-        wlsq_n_q=ops.wlsq_n_q,
     )
-    return StaticPack(
+    return static.replace(
         ops=new_ops,
         pos=row(static.pos),
         node_type=row(static.node_type),

@@ -64,9 +64,22 @@ def train(
     n_epochs = n_epochs if n_epochs is not None else cfg.n_epochs
 
     if cfg.engine == "block":
+        if cfg.sp_devices > 1:
+            # the Pallas kernels are single-device programs: enter the
+            # XLA-path context BEFORE anything traces, restore on exit
+            from gen_fvgn_tpu.parallel.sp import \
+                single_device_kernels_disabled
+            with single_device_kernels_disabled():
+                return _train_block(cfg, case_dirs, cases, log_base_dir,
+                                    seed, n_epochs, resume_from,
+                                    pad_multiple, progress_every, logger,
+                                    use_tensorboard)
         return _train_block(cfg, case_dirs, cases, log_base_dir, seed,
                             n_epochs, resume_from, pad_multiple,
                             progress_every, logger, use_tensorboard)
+    if cfg.sp_devices > 1:
+        raise ValueError("sp_devices > 1 requires engine='block' (the "
+                         "segment engine has no sharded-operator form)")
 
     pool = EnvPool(case_dirs, cfg, seed=seed, pad_multiple=pad_multiple,
                    cases=cases, device_resident=(cfg.dp_devices <= 1),
@@ -154,7 +167,7 @@ def _train_block(cfg, case_dirs, cases, log_base_dir, seed, n_epochs,
                                                    init_train_state_block,
                                                    make_train_step_block)
 
-    if getattr(cfg, "sp_devices", 1) > 1:
+    if cfg.sp_devices > 1:
         # full operator sharding needs every entity padded to tile*sp rows
         # (parallel/sp.py::_put falls back to replication otherwise)
         pad_multiple = max(pad_multiple, cfg.tile * cfg.sp_devices)
@@ -170,7 +183,7 @@ def _train_block(cfg, case_dirs, cases, log_base_dir, seed, n_epochs,
         state = load_state(resume_from, like=state)
     mixed = None
     if cfg.mixed_case_batches:
-        if cfg.dp_devices > 1 or getattr(cfg, "sp_devices", 1) > 1:
+        if cfg.dp_devices > 1 or cfg.sp_devices > 1:
             raise NotImplementedError(
                 "mixed_case_batches + dp/sp sharding: per-case groups have "
                 "data-dependent sizes that cannot shard evenly; use the "
@@ -184,9 +197,9 @@ def _train_block(cfg, case_dirs, cases, log_base_dir, seed, n_epochs,
     # their out-tile dim and entity statics row-shard (parallel/sp.py).
     mesh = None
     statics = pool.statics
-    sp_n = getattr(cfg, "sp_devices", 1)
-    if sp_n > 1:
-        from gen_fvgn_tpu.ops import blocksparse as _bs
+    if cfg.sp_devices > 1:
+        # Pallas kernels already disabled by train()'s context (they are
+        # single-device programs; the XLA paths shard under GSPMD)
         from gen_fvgn_tpu.parallel.sp import (make_dp_sp_mesh,
                                               replicate_state,
                                               shard_block_batch_dp,
@@ -194,12 +207,10 @@ def _train_block(cfg, case_dirs, cases, log_base_dir, seed, n_epochs,
         if cfg.batch_size % max(cfg.dp_devices, 1):
             raise ValueError(f"batch_size {cfg.batch_size} not divisible by "
                              f"dp_devices {cfg.dp_devices}")
-        _bs.use_pallas_spmm(False)   # single-device kernels; XLA path
-        mesh = make_dp_sp_mesh(max(cfg.dp_devices, 1), sp_n)
+        mesh = make_dp_sp_mesh(max(cfg.dp_devices, 1), cfg.sp_devices)
         state = replicate_state(state, mesh)
         statics = [shard_static_sp(s, mesh) for s in pool.statics]
-        shard_block_batch = (lambda dyn_, m_, batch_size:
-                             shard_block_batch_dp(dyn_, m_, batch_size))
+        shard_block_batch = shard_block_batch_dp
     elif cfg.dp_devices > 1:
         from gen_fvgn_tpu.parallel.dp import (make_mesh, shard_block_batch,
                                               shard_static,

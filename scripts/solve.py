@@ -46,7 +46,15 @@ def main(argv=None):
     cfg = Config(batch_size=1, dataset_size=1, order=args.order, net=args.net,
                  engine=args.engine)
     if args.engine == "block":
+        if args.sp_devices > 1:
+            # Pallas kernels are single-device programs; the sp-sharded
+            # applies must take the XLA path (restored on exit)
+            from gen_fvgn_tpu.parallel.sp import single_device_kernels_disabled
+            with single_device_kernels_disabled():
+                return _solve_block(cfg, args)
         return _solve_block(cfg, args)
+    if args.sp_devices > 1:
+        raise SystemExit("--sp-devices requires --engine block")
     pool = EnvPool([args.case], cfg, seed=0)
     batch = pool.gather_batch(np.asarray([0]))
     state, apply_fn = init_train_state(cfg, batch, seed=0)
@@ -102,7 +110,7 @@ def _solve_block(cfg, args):
     from gen_fvgn_tpu.training.pool import EnvPool
     from gen_fvgn_tpu.training.train_block import init_train_state_block
 
-    sp_n = getattr(args, "sp_devices", 1)
+    sp_n = args.sp_devices
     pad = max(128, cfg.tile * sp_n) if sp_n > 1 else 128
     pool = EnvPool([args.case], cfg, seed=0, engine="block",
                    pad_multiple=pad)
@@ -113,13 +121,12 @@ def _solve_block(cfg, args):
         state = load_state(args.checkpoint, like=state)
     if sp_n > 1:
         # domain-decomposed inference: operators sharded over sp (GSPMD),
-        # single sample -> dp=1 (parallel/sp.py)
-        from gen_fvgn_tpu.ops import blocksparse as _bs
+        # single sample -> dp=1 (parallel/sp.py); Pallas kernels already
+        # disabled by main()'s context
         from gen_fvgn_tpu.parallel.sp import (make_dp_sp_mesh,
                                               replicate_state,
                                               shard_block_batch_dp,
                                               shard_static_sp)
-        _bs.use_pallas_spmm(False)
         mesh2 = make_dp_sp_mesh(1, sp_n)
         static = shard_static_sp(static, mesh2)
         state = replicate_state(state, mesh2)
