@@ -41,3 +41,38 @@ def test_pretrain_then_solve_cli(dataset, tmp_path):
     assert len(dats) == 2
     text = open(dats[-1]).read()
     assert "FEPOLYGON" in text and '"U"' in text
+
+
+def test_solve_cli_sp_devices_matches_unsharded(dataset, tmp_path):
+    """--sp-devices 4 (domain-decomposed operators) must reproduce the
+    unsharded rollout fields exactly up to f32 partition noise."""
+    import numpy as np
+    from scripts.solve import main as solve_main
+
+    case = os.path.join(dataset, "cavity_poisson_quad_tri")
+    out1 = str(tmp_path / "sp1")
+    out4 = str(tmp_path / "sp4")
+    solve_main(["--case", case, "--mode", "rollout", "--steps", "2",
+                "--engine", "block", "--out-dir", out1])
+    solve_main(["--case", case, "--mode", "rollout", "--steps", "2",
+                "--engine", "block", "--out-dir", out4,
+                "--sp-devices", "4"])
+
+    def grab(path):
+        vals, on = [], False
+        for line in open(path):
+            s = line.strip()
+            if s.startswith("ZONE") or s.startswith("DT"):
+                on = True
+                continue
+            if on:
+                try:
+                    vals.extend(float(v) for v in s.split())
+                except ValueError:
+                    break
+        return np.asarray(vals[:2000])
+
+    a = grab(sorted(glob.glob(os.path.join(out1, "*.dat")))[-1])
+    b = grab(sorted(glob.glob(os.path.join(out4, "*.dat")))[-1])
+    assert a.size and a.size == b.size
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
