@@ -60,15 +60,16 @@ from gen_fvgn_tpu.ops.fused_mlp import _interpret, _pick_tile_m
 _F32 = jnp.float32
 
 # Grouped (per-head, G-lane) reductions inside the kernel: "reshape" views
-# the [T, H·G] row as [T, H, G] and reduces the minor axis; "matmul"
-# multiplies by a block-diagonal ones matrix (rank-2 only — fallback if
-# Mosaic rejects the rank-3 relayout) with the per-GROUP MEAN as the
-# softmax shift. The mean is matmul-computable and keeps each group's max
-# term exp(max−mean) ≥ 1, so the denominator can never underflow to 0/0
-# (a GLOBAL row-max shift would zero out whole heads whose logits sit
-# ≳88 below another head's — NaN). Residual risk: within-head logit
-# spread > ~88 overflows exp(max−mean); unreachable for O(10) logits.
-_GROUP_MODE = "reshape"
+# the [T, H·G] row as [T, H, G] and reduces the minor axis; "matmul" stays
+# rank-2 — sums via a block-diagonal ones matmul, and the softmax shift as
+# the EXACT per-group max from H masked full-width reductions (_group_max).
+# An earlier per-group MEAN shift overflowed exp(max−mean) on real TPU at
+# within-head logit spreads > ~88 (measured: spread 94.6 on random test
+# weights → inf/inf → NaN); the exact max bounds every term at exp(0).
+# "matmul" is the default: the current Mosaic toolchain rejects the rank-3
+# shape cast ((256,256)->(256,8,32) "unsupported shape cast"); "reshape"
+# stays selectable for toolchains that support it.
+_GROUP_MODE = "matmul"
 
 
 def set_group_mode(mode: str) -> None:
@@ -95,6 +96,24 @@ def _group_sum(v, h: int, g: int):
     return jnp.dot(v, _group_ones(h, g), preferred_element_type=_F32)
 
 
+def _group_max(v, h: int, g: int):
+    """Exact max over each head's G lanes, broadcast back to [T, H·G].
+    Rank-2 only: H masked full-width lane reductions (max is not
+    matmul-computable; cheap VPU work next to the kernel's MXU dots)."""
+    t = v.shape[0]
+    if _GROUP_MODE == "reshape":
+        m3 = jnp.max(v.reshape(t, h, g), axis=-1, keepdims=True)
+        return jnp.broadcast_to(m3, (t, h, g)).reshape(t, h * g)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (t, h * g), 1) // g
+    neg = jnp.full_like(v, -jnp.inf)
+    out = jnp.zeros_like(v)
+    for i in range(h):
+        sel = lane == i
+        mi = jnp.max(jnp.where(sel, v, neg), axis=-1, keepdims=True)
+        out = out + jnp.where(sel, mi, 0.0)
+    return out
+
+
 def _slice_core(x, mask, wfx, bfx, wx, bx, wsl, bsl, it, h: int, g: int):
     """Recomputable forward chain for one [T, C] tile. Returns
     (fx16, xm16, l32, w32, w_m32) — bf16-rounded projections (parity with
@@ -115,7 +134,7 @@ def _slice_core(x, mask, wfx, bfx, wx, bx, wsl, bsl, it, h: int, g: int):
         w3 = e3 / jnp.sum(e3, axis=-1, keepdims=True)
         w = w3.reshape(t, h * g)                          # [T, HG] f32
     else:
-        e = jnp.exp(s - _group_sum(s, h, g) * (1.0 / g))
+        e = jnp.exp(s - _group_max(s, h, g))
         w = e / _group_sum(e, h, g)
     w_m = w * mask.astype(_F32)                           # [T, HG]
     return fx, xm, l32, w, w_m
