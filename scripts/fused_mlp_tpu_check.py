@@ -66,6 +66,19 @@ def main():
         status = "PASS" if worst < 0.08 else "FAIL"
         ok &= status == "PASS"
         print(f"{tag:12s} grad rel-err {worst:.4f}  {status}")
+
+    # pres-only / no-LN / premlp kernel forms: reuse the unit tests on the
+    # live backend (GFVGN_TEST_TPU=1 skips the conftest CPU pin).
+    import pytest
+    os.environ["GFVGN_TEST_TPU"] = "1"
+    rc = pytest.main([
+        "tests/test_fused_mlp.py::test_fused_pres_only_forward_and_gradients",
+        "tests/test_fused_mlp.py::test_fused_noln_decoder_forward_and_gradients",
+        "tests/test_fused_mlp.py::test_fused_premlp_res_matches_reference",
+        "-q", "--no-header"])
+    ok &= rc == 0
+    print(f"pres-only/no-LN/premlp unit tests on-device: "
+          f"{'PASS' if rc == 0 else 'FAIL'}")
     print("backend:", jax.default_backend(), "->",
           "ALL PASS" if ok else "FAILURES")
     return 0 if ok else 1

@@ -13,9 +13,14 @@ if "xla_force_host_platform_device_count" not in flags:
 # The sandbox's axon sitecustomize force-registers the TPU tunnel backend and
 # overrides jax_platforms at interpreter start; pin it back to CPU via the
 # config (env vars alone are ignored once register() has run).
+# GFVGN_TEST_TPU=1 skips the pin so selected kernel tests can be run against
+# the real TPU (Mosaic-compiled, not interpret mode) — used by the
+# scripts/*_tpu_check.py validation flow; not the default because the full
+# suite assumes 8 virtual CPU devices.
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("GFVGN_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
