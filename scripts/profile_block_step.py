@@ -62,14 +62,27 @@ def main():
             data = json.load(fh)
         events.extend(data.get("traceEvents", []))
 
-    # keep complete events on TPU op tracks (pid/tid naming varies; filter
-    # by having 'dur' and an XLA-ish name)
+    # keep complete events on the TPU "XLA Ops" track only — the "Steps"
+    # and "XLA Modules" lanes are enclosing markers that would double-count
     pid_names = {e.get("pid"): e.get("args", {}).get("name", "")
                  for e in events if e.get("ph") == "M"
                  and e.get("name") == "process_name"}
     tpu_pids = {p for p, n in pid_names.items()
                 if "TPU" in n or "tpu" in n or "/device" in n.lower()}
+    tid_names = {(e.get("pid"), e.get("tid")): e.get("args", {}).get("name", "")
+                 for e in events if e.get("ph") == "M"
+                 and e.get("name") == "thread_name"}
+    op_tids = {k for k, n in tid_names.items() if n == "XLA Ops"}
+    step_tids = {k for k, n in tid_names.items() if n == "Steps"}
     print("processes:", pid_names, file=sys.stderr)
+
+    steps = [e["dur"] for e in events
+             if e.get("ph") == "X" and "dur" in e
+             and (e.get("pid"), e.get("tid")) in step_tids]
+    if steps:
+        print(f"device step time: {np.mean(steps) / 1e3:.2f} ms/step "
+              f"(n={len(steps)}, min {min(steps) / 1e3:.2f}, "
+              f"max {max(steps) / 1e3:.2f})")
 
     agg = defaultdict(float)
     cnt = defaultdict(int)
@@ -78,6 +91,8 @@ def main():
         if e.get("ph") != "X" or "dur" not in e:
             continue
         if tpu_pids and e.get("pid") not in tpu_pids:
+            continue
+        if op_tids and (e.get("pid"), e.get("tid")) not in op_tids:
             continue
         name = e.get("name", "")
         if name.startswith("jit_") or not name:
@@ -92,6 +107,17 @@ def main():
     for name, dur in rows[:60]:
         print(f"  {dur / 5e3:8.3f} ms/step x{cnt[name] // 5:3d} "
               f"{100 * dur / total:5.1f}%  {name}")
+
+    fam_agg = defaultdict(float)
+    fam_cnt = defaultdict(int)
+    for name, dur in agg.items():
+        fam = re.sub(r"\.\d+$", "", name)
+        fam_agg[fam] += dur
+        fam_cnt[fam] += cnt[name]
+    print("\nby family:")
+    for fam, dur in sorted(fam_agg.items(), key=lambda kv: -kv[1])[:30]:
+        print(f"  {dur / 5e3:8.3f} ms/step x{fam_cnt[fam] // 5:3d} "
+              f"{100 * dur / total:5.1f}%  {fam}")
 
 
 if __name__ == "__main__":
