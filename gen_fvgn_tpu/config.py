@@ -120,6 +120,18 @@ class Config:
                                        # slice+add, then adj). Same math and
                                        # parameter tree (equivalence-tested);
                                        # A/B table in ROUND_NOTES round-3.
+    edge_gather: str = "take"          # block engine EdgeBlock Gathered
+                                       # projections: "take" (row-gather of
+                                       # the node-side projections; default)
+                                       # or "composed" (gsadj/gradj = G@adj
+                                       # operators, two direct E←N windowed
+                                       # applies, adj apply leaves the model
+                                       # path). Same math; "composed"
+                                       # measured 0.56 ms/step SLOWER on the
+                                       # bench cavity (the composed windows
+                                       # are wider than adj's), kept as a
+                                       # capability for meshes where the
+                                       # take glue dominates.
     microbatch: int = 8                # block engine: PER-DEVICE chunk
                                        # size — batches above
                                        # microbatch×dp_devices run as

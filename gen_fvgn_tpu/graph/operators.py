@@ -120,6 +120,17 @@ class MeshOperators:
     # split, and the 64-lane adj apply all vanish
     nbr_r: LinOp = None
     nbr_s: LinOp = None
+    # composed EdgeBlock gather-projection operators (built alongside the
+    # composed NodeBlock ops): gsadj = Gs @ adj, gradj = Gr @ adj [E←N].
+    # take_side(adj @ (x·W)) == (G_side@adj) @ (x·W) (row gathers commute
+    # with right-matmuls), so the EdgeBlock's neighbour-sum apply + two
+    # row-gathers + their batch-layout copies/transposes collapse into two
+    # direct windowed E←N applies on the node-side projections — and the
+    # adj apply leaves the model path entirely (the composed NodeBlock
+    # doesn't use it either). Padded rows are exact zeros (no take-path
+    # row-0 carve-out on this path).
+    gsadj: LinOp = None
+    gradj: LinOp = None
     # paired-gather union-window metadata for the EdgeBlock's
     # sender/receiver Gathered projections (ops/pallas_spmm.py::
     # pallas_gather_pair): one windowed kernel computes
@@ -154,7 +165,8 @@ def build_mesh_operators(mesh: Dict[str, np.ndarray], order: str,
                          sizes, tile: int = 256,
                          model_ops_bf16: bool = True,
                          wlsq_rows: str = "grad",
-                         node_agg: str = "split") -> MeshOperators:
+                         node_agg: str = "split",
+                         edge_gather: str = "take") -> MeshOperators:
     """Build all operators for ONE compiled+prepared mesh (with stencil and
     WLSQ statics attached), padded to `sizes` (PadSizes).
 
@@ -223,7 +235,7 @@ def build_mesh_operators(mesh: Dict[str, np.ndarray], order: str,
     scat_s = build_linop(s, e_idx, np.ones(e, np.float32), np_pad, e_pad,
                          tile, tile, mdt, window_s=8)
 
-    nbr_r = nbr_s = None
+    nbr_r = nbr_s = gsadj = gradj = None
     if node_agg == "composed":
         # nbr_r = adj @ scat_r, nbr_s = adj @ scat_s — composed on the host
         # as sparse products. Entries are path counts (small integers),
@@ -336,7 +348,7 @@ def build_mesh_operators(mesh: Dict[str, np.ndarray], order: str,
         face_inflow=jnp.asarray(face_inflow),
         face_wall=jnp.asarray(face_wall),
         s_out=jnp.asarray(s_out),
-        nbr_r=nbr_r, nbr_s=nbr_s,
+        nbr_r=nbr_r, nbr_s=nbr_s, gsadj=gsadj, gradj=gradj,
         gpair_start=None if gpair is None else jnp.asarray(gpair[0]),
         gpair_ls=None if gpair is None else jnp.asarray(gpair[1]),
         gpair_lr=None if gpair is None else jnp.asarray(gpair[2]),

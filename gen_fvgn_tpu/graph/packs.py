@@ -43,9 +43,11 @@ class DynamicPack:
 def build_static_pack(mesh: Dict[str, np.ndarray], order: str, sizes,
                       tile: int = 256,
                       wlsq_rows: str = "grad",
-                      node_agg: str = "split") -> StaticPack:
+                      node_agg: str = "split",
+                      edge_gather: str = "take") -> StaticPack:
     ops = build_mesh_operators(mesh, order, sizes, tile,
-                               wlsq_rows=wlsq_rows, node_agg=node_agg)
+                               wlsq_rows=wlsq_rows, node_agg=node_agg,
+                               edge_gather=edge_gather)
     f32 = np.float32
     n = mesh["node|pos"].shape[0]
     e = mesh["face|face_node"].shape[1]

@@ -17,6 +17,15 @@ from gen_fvgn_tpu.graph.packs import StaticPack
 from gen_fvgn_tpu.models.mlp import Gathered, Mlp
 from gen_fvgn_tpu.ops.blocksparse import apply_linop
 
+# Use the composed gsadj/gradj operators for the EdgeBlock's Gathered
+# projections when the StaticPack carries them (A/B kill-switch).
+_COMPOSED_GATHER = True
+
+
+def use_composed_gather(enabled: bool = True) -> None:
+    global _COMPOSED_GATHER
+    _COMPOSED_GATHER = enabled
+
 
 class EdgeBlockB(nn.Module):
     hidden_size: int
@@ -28,6 +37,18 @@ class EdgeBlockB(nn.Module):
         from gen_fvgn_tpu.ops import blocksparse as _bs
         from gen_fvgn_tpu.ops.blocksparse import _pallas_enabled
         ops = static.ops
+        # Composed gathers (cfg.node_agg "composed" packs): project node_x
+        # into the sender/receiver W1 bases at NODE cardinality, then ONE
+        # windowed E←N apply per side with gsadj = Gs@adj / gradj = Gr@adj —
+        # take_side(adj@x · W) == gsadj @ (x·W). The adj apply, the two
+        # row-gathers, and their batch-layout copies/transposes (the
+        # dominant XLA glue around the edge MLP) all vanish.
+        if _COMPOSED_GATHER and ops.gsadj is not None:
+            gathered = (Gathered(node_x, ops.gsadj),
+                        Gathered(node_x, ops.gradj))
+            return Mlp(self.hidden_size, self.hidden_size, dtype=self.dtype,
+                       residual_part=len(gathered), residual_dual=True,
+                       name="edge_mlp")(gathered + (edge_attr,))
         agg = apply_linop(ops.adj, node_x)               # neighbour sum
         # Gathered parts: the MLP projects agg by the sender/receiver W1
         # row-slices on the NODE side and row-gathers the projections

@@ -127,7 +127,7 @@ def _make_fwd_kernel(n_parts: int, n_pre: int, res_idx: Optional[int],
 
 
 def _make_bwd_kernel(n_parts: int, n_pre: int, res_idx: Optional[int],
-                     res_dual: bool):
+                     res_dual: bool, group: int = 1):
     n_dout = 2 if (res_idx is not None and res_dual) else 1
 
     def kernel(*refs):
@@ -163,15 +163,31 @@ def _make_bwd_kernel(n_parts: int, n_pre: int, res_idx: Optional[int],
         if res_idx is not None and res_dual:
             g = g + dout_refs[1][:].astype(jnp.float32)
 
-        # Per-tile PARTIAL weight-grad outputs, reduced with one jnp.sum
-        # outside. Both in-kernel accumulation variants (read-modify-write
-        # of a constant-index output block, and VMEM-scratch accumulation
-        # with per-step writeout) measured ~3.5 ms/step SLOWER than
-        # independent per-tile writes — the cross-step dependency defeats
-        # Mosaic's grid pipelining; the partial arrays cost HBM bytes but
-        # stream at full rate.
-        def accum(ref, val):
-            ref[0] = val
+        # GROUPED partial weight-grad outputs: one [*, K, H] f32 block per
+        # `group` consecutive M-tiles, accumulated in VMEM via
+        # read-modify-write while the output block index (i // group) is
+        # revisited, flushed to HBM when it changes. group=1 degenerates
+        # to the original independent per-tile writes. Full-grid
+        # accumulation (group = n_tiles, a constant output index) was
+        # measured ~3.5 ms/step SLOWER — the whole-grid RMW dependency
+        # defeats Mosaic's pipelining — but small groups amortize the
+        # partial-stream HBM traffic (the dominant backward overhead at
+        # tile 256: ~30-45%% of the kernel's bytes) while keeping the
+        # dependency chains short.
+        if group > 1:
+            first = (pl.program_id(0) % group) == 0
+
+            def accum(ref, val):
+                @pl.when(first)
+                def _():
+                    ref[0] = val
+
+                @pl.when(jnp.logical_not(first))
+                def _():
+                    ref[0] += val
+        else:
+            def accum(ref, val):
+                ref[0] = val
 
         accum(adg_ref, jnp.sum(g * xhat, axis=0, keepdims=True))
         accum(adbe_ref, jnp.sum(g, axis=0, keepdims=True))
@@ -248,13 +264,32 @@ def _tile_spec(cols, tile_m=TILE_M):
                         memory_space=pltpu.VMEM)
 
 
-def _acc_spec(shape):
-    """Per-M-tile PARTIAL accumulator output block [n_tiles, *shape] —
-    the backward kernels' weight-grad layout (see the partial-vs-
-    accumulation measurement note in _make_bwd_kernel)."""
+def _acc_spec(shape, group: int = 1):
+    """PARTIAL accumulator output block [ceil(n_tiles/group), *shape] —
+    the backward kernels' weight-grad layout. With group>1 the block
+    index is constant across `group` consecutive M-tiles, so Mosaic
+    keeps the block in VMEM for in-kernel accumulation and flushes once
+    per group (see the note in _make_bwd_kernel)."""
     nd = len(shape)
+    if group > 1:
+        return pl.BlockSpec((1,) + shape,
+                            lambda i: (i // group,) + (0,) * nd,
+                            memory_space=pltpu.VMEM)
     return pl.BlockSpec((1,) + shape, lambda i: (i,) + (0,) * nd,
                         memory_space=pltpu.VMEM)
+
+
+# Number of consecutive M-tiles accumulated into one partial weight-grad
+# block in the backward kernels (HBM partial-stream traffic scales
+# 1/group; the RMW dependency chain scales with group).
+_PARTIAL_GROUP = 1
+
+
+def set_partial_group(group: int) -> None:
+    """Override the backward kernels' partial-accumulation group size."""
+    global _PARTIAL_GROUP
+    _PARTIAL_GROUP = int(group)
+    _make_fused_fn.cache_clear()
 
 
 
@@ -321,13 +356,15 @@ def _make_fused_fn(res_idx: Optional[int], res_dual: bool):
         f32 = jnp.float32
 
         n_tiles = m // tm
+        group = max(1, min(_PARTIAL_GROUP, n_tiles))
+        n_acc = -(-n_tiles // group)
 
         k_tot = sum(p.shape[1] for p in parts) + 128 * n_pre
         stream = 2 * (sum(int(p.size) * p.dtype.itemsize for p in parts)
                       + n_pre * m * h * 2) + (1 + len(douts)) * m * d * 2 \
-            + n_tiles * (k_tot * h + h * h + h * d + 5 * d + 2 * h) * 4
+            + n_acc * (k_tot * h + h * h + h * d + 5 * d + 2 * h) * 4
         outs = pl.pallas_call(
-            _make_bwd_kernel(n_parts, n_pre, res_idx, res_dual),
+            _make_bwd_kernel(n_parts, n_pre, res_idx, res_dual, group),
             grid=(m // tm,),
             cost_estimate=_mlp_cost(m, k_tot, h, d, 3, stream),
             in_specs=(
@@ -341,22 +378,23 @@ def _make_fused_fn(res_idx: Optional[int], res_dual: bool):
             out_specs=(
                 [_tile_spec(p.shape[1], tm) for p in parts]
                 + [_tile_spec(h, tm) for _ in pres]
-                + [_acc_spec(w.shape) for w in w1s]
-                + [_acc_spec((1, h)), _acc_spec((h, h)), _acc_spec((1, h)),
-                   _acc_spec((h, d)), _acc_spec((1, d)),
-                   _acc_spec((1, d)), _acc_spec((1, d))]),
+                + [_acc_spec(w.shape, group) for w in w1s]
+                + [_acc_spec((1, h), group), _acc_spec((h, h), group),
+                   _acc_spec((1, h), group), _acc_spec((h, d), group),
+                   _acc_spec((1, d), group), _acc_spec((1, d), group),
+                   _acc_spec((1, d), group)]),
             out_shape=(
                 [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in parts]
                 + [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in pres]
-                + [jax.ShapeDtypeStruct((n_tiles,) + w.shape, f32)
+                + [jax.ShapeDtypeStruct((n_acc,) + w.shape, f32)
                    for w in w1s]
-                + [jax.ShapeDtypeStruct((n_tiles, 1, h), f32),
-                   jax.ShapeDtypeStruct((n_tiles, h, h), f32),
-                   jax.ShapeDtypeStruct((n_tiles, 1, h), f32),
-                   jax.ShapeDtypeStruct((n_tiles, h, d), f32),
-                   jax.ShapeDtypeStruct((n_tiles, 1, d), f32),
-                   jax.ShapeDtypeStruct((n_tiles, 1, d), f32),
-                   jax.ShapeDtypeStruct((n_tiles, 1, d), f32)]),
+                + [jax.ShapeDtypeStruct((n_acc, 1, h), f32),
+                   jax.ShapeDtypeStruct((n_acc, h, h), f32),
+                   jax.ShapeDtypeStruct((n_acc, 1, h), f32),
+                   jax.ShapeDtypeStruct((n_acc, h, d), f32),
+                   jax.ShapeDtypeStruct((n_acc, 1, d), f32),
+                   jax.ShapeDtypeStruct((n_acc, 1, d), f32),
+                   jax.ShapeDtypeStruct((n_acc, 1, d), f32)]),
             interpret=_interpret(),
         )(*parts, *w1s, *pres, b1, w2, b2, w3, b3, gamma, *douts)
         dxs = tuple(outs[:n_parts])

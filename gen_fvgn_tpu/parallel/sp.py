@@ -145,6 +145,8 @@ def shard_static_sp(static: StaticPack, mesh: Mesh) -> StaticPack:
         s_out=row(ops.s_out),
         nbr_r=_shard_linop(ops.nbr_r, mesh),
         nbr_s=_shard_linop(ops.nbr_s, mesh),
+        gsadj=_shard_linop(ops.gsadj, mesh),
+        gradj=_shard_linop(ops.gradj, mesh),
         gpair_start=repl(ops.gpair_start),
         gpair_ls=repl(ops.gpair_ls),
         gpair_lr=repl(ops.gpair_lr),

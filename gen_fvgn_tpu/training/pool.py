@@ -223,7 +223,8 @@ class EnvPool:
             jax.device_put(build_static_pack(
                 c["mesh"], self.cfg.order, self.case_sizes[ci], self.tile,
                 wlsq_rows=getattr(self.cfg, "wlsq_block_rows", "grad"),
-                node_agg=getattr(self.cfg, "node_agg", "split")))
+                node_agg=getattr(self.cfg, "node_agg", "split"),
+                edge_gather=getattr(self.cfg, "edge_gather", "take")))
             for ci, c in enumerate(self.cases)]
 
         # one device dynamic pool per case (shapes differ across cases)

@@ -540,3 +540,54 @@ def test_node_agg_variants_match_split(variant):
         np.testing.assert_allclose(
             a / denom, b / denom, atol=1e-1,
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_composed_gather_matches_take_path():
+    """EdgeBlock composed-gather operators (gsadj = Gs@adj, gradj = Gr@adj;
+    gn_block.use_composed_gather) vs the take-path Gathered projections:
+    same params, same loss and loss gradients up to bf16 rounding. The
+    composed path also zeroes padded rows (no take row-0 carve-out), so
+    agreement here doubles as a pad-safety check."""
+    from gen_fvgn_tpu.models import gn_block as gb
+    from gen_fvgn_tpu.training.forward import training_loss
+    from gen_fvgn_tpu.training.forward_block import forward_batch_block
+    from gen_fvgn_tpu.training.train_block import init_train_state_block
+
+    raw = rcm_reorder({k: v for k, v in cavity_quad_mesh(6).items()})
+    mesh = compile_mesh(raw)
+    case = synthetic_case(mesh, continuity=1, convection=1, grad_p=1,
+                          mu=0.05, sigma=(1, 1, 1))
+    cfg = Config(batch_size=2, dataset_size=2, mxu_dtype="bfloat16",
+                 hidden_size=128, message_passing_num=1, slice_num=8,
+                 attn_heads=4, node_agg="composed")
+    pool = EnvPool([], cfg, seed=0, pad_multiple=256, cases=[case],
+                   engine="block")
+    static = pool.statics[0]
+    assert static.ops.gsadj is not None
+    dyn = pool.gather_block(np.asarray([0, 1]))
+    state, apply_fn = init_train_state_block(cfg, dyn, static, seed=0)
+
+    def loss_fn(p):
+        out = forward_batch_block(apply_fn, p, state.norm_state,
+                                  dyn, static, cfg,
+                                  accumulate_normalizer=False)
+        return training_loss(out, cfg)
+
+    results = {}
+    try:
+        for flag in (True, False):
+            gb.use_composed_gather(flag)
+            results[flag] = jax.value_and_grad(loss_fn)(state.params)
+    finally:
+        gb.use_composed_gather(True)
+
+    (l1, g1), (l0, g0) = results[True], results[False]
+    np.testing.assert_allclose(float(l1), float(l0), rtol=2e-2)
+    flat0, _ = jax.tree_util.tree_flatten_with_path(g0)
+    flat1, _ = jax.tree_util.tree_flatten_with_path(g1)
+    for (path, a), (_, b) in zip(flat1, flat0):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        denom = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(
+            a / denom, b / denom, atol=1e-1,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
