@@ -32,8 +32,20 @@ graphs) — not a documented measurement. It is held fixed so the ratio is
 comparable across rounds; BASELINE.md's "≥5×" target reads as
 vs_baseline ≥ 5.0 under this convention.
 
+mfu / mfu_useful: `mfu` uses the XLA cost analysis of the block-engine
+step plus the declared Pallas CostEstimates — a count that includes the
+dense-tile band inflation (structurally-zero blocks in the LinOp tiles)
+and a 3× backward estimate inside the kernels' CostEstimates, so it
+OVERSTATES useful work. `mfu_useful` divides by the same peak but uses
+the XLA-counted FLOPs of the SEGMENT-engine step (the gather/segment-sum
+reference implementation of the identical math) compiled on CPU: no
+dense-tile inflation and a real compiled backward instead of an estimate.
+The gap between the two numbers is the price of the dense-tile
+representation (paid deliberately — it is what makes the step fast).
+
 Env knobs: BENCH_BATCH (8), BENCH_STEPS (20), BENCH_TILE (256),
-BENCH_SWEEP ("8,16,32"; "" disables), BENCH_SECONDARY ("poly"; "" disables).
+BENCH_SWEEP ("8,16,32"; "" disables), BENCH_SECONDARY ("poly"; "" disables),
+BENCH_USEFUL ("1"; "0" skips the CPU useful-FLOPs subprocess).
 """
 
 import json
@@ -132,7 +144,53 @@ def bench_case(case_dir: str, batch_size: int, n_steps: int, tile: int,
     return out
 
 
+def _useful_flops_worker(case_dir: str, batch_size: int):
+    """Subprocess body (BENCH_USEFUL_WORKER): XLA-counted FLOPs of the
+    SEGMENT-engine train step — the reference implementation of the same
+    math with gathers/segment-sums instead of dense-tile matmuls — compiled
+    on CPU. No band inflation, real compiled backward. Prints one JSON line
+    {"flops": N}."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from gen_fvgn_tpu.config import Config
+    from gen_fvgn_tpu.training.pool import EnvPool
+    from gen_fvgn_tpu.training.train import (init_train_state,
+                                             make_train_step)
+
+    cfg = Config(batch_size=batch_size, dataset_size=batch_size,
+                 n_epochs=1000, mxu_dtype="bfloat16")
+    pool = EnvPool([case_dir], cfg, seed=0, engine="segment")
+    batch = pool.gather_batch(np.arange(batch_size))
+    state, apply_fn = init_train_state(cfg, batch, seed=0)
+    step = make_train_step(cfg, apply_fn, donate=False)
+    ca = step.lower(state, batch).compile().cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    print(json.dumps({"flops": float(ca.get("flops", 0.0))}))
+
+
+def useful_flops_per_step(case_dir: str, batch_size: int):
+    """Run the segment-engine FLOP count in a CPU subprocess (this process
+    is bound to the TPU backend). Returns FLOPs/step or None."""
+    import subprocess
+    env = dict(os.environ,
+               BENCH_USEFUL_WORKER=f"{case_dir}|{batch_size}")
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, timeout=1800)
+        line = out.stdout.strip().splitlines()[-1]
+        return float(json.loads(line)["flops"]) or None
+    except Exception as exc:  # noqa: BLE001 — bench must not die on this
+        print(f"# useful-FLOPs worker failed: {exc}", file=sys.stderr)
+        return None
+
+
 def main():
+    if os.environ.get("BENCH_USEFUL_WORKER"):
+        case_dir, bsz = os.environ["BENCH_USEFUL_WORKER"].rsplit("|", 1)
+        _useful_flops_worker(case_dir, int(bsz))
+        return
     from gen_fvgn_tpu.utils.jax_setup import setup_cache
     setup_cache()
     import jax
@@ -167,6 +225,14 @@ def main():
         if peak:
             result["mfu"] = round(
                 primary["achieved_tflops"] * 1e12 / peak, 4)
+    if os.environ.get("BENCH_USEFUL", "1") == "1":
+        uf = useful_flops_per_step(CASES["cavity"], batch_size)
+        if uf:
+            result["useful_flops_per_step_g"] = round(uf / 1e9, 2)
+            result["useful_achieved_tflops"] = round(
+                uf * steps_per_sec / 1e12, 2)
+            if peak:
+                result["mfu_useful"] = round(uf * steps_per_sec / peak, 4)
     if "xla_bytes_per_step_gb" in primary:
         result["xla_bytes_per_step_gb"] = primary["xla_bytes_per_step_gb"]
     result["device_kind"] = device.device_kind

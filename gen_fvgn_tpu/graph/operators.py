@@ -252,6 +252,21 @@ def build_mesh_operators(mesh: Dict[str, np.ndarray], order: str,
                             tile, tile, mdt, window_s=8)
         nbr_s = build_linop(Cs.row, Cs.col, Cs.data, np_pad, e_pad,
                             tile, tile, mdt, window_s=8)
+        # EdgeBlock composed gathers: gsadj = Gs @ adj, gradj = Gr @ adj
+        # [E←N] — take_side(adj@x · W) == gsadj @ (x·W), so the adj apply
+        # + row-gather pair collapses into one windowed E←N apply per side
+        # (models/gn_block.py::EdgeBlockB). Entries are path counts
+        # (small integers), exactly representable in bf16; padded rows are
+        # zero (no take row-0 carve-out on this path).
+        Gs_sp = sp.csr_matrix((np.ones(e, np.float64), (e_idx, s)),
+                              shape=(e, n))
+        Gr_sp = sp.csr_matrix((np.ones(e, np.float64), (e_idx, r)),
+                              shape=(e, n))
+        Cgs, Cgr = (Gs_sp @ A).tocoo(), (Gr_sp @ A).tocoo()
+        gsadj = build_linop(Cgs.row, Cgs.col, Cgs.data, e_pad, np_pad,
+                            tile, tile, mdt, window_s=8)
+        gradj = build_linop(Cgr.row, Cgr.col, Cgr.data, e_pad, np_pad,
+                            tile, tile, mdt, window_s=8)
 
     # ---- folded WLSQ operator ----
     stencil = mesh["stencil"].astype(np.int64)

@@ -129,7 +129,7 @@ def classify_faces(face_node: np.ndarray, node_type: np.ndarray) -> np.ndarray:
     # one orientation (parity with the asymmetric masks at parse_to_h5.py
     # :330-348 — a WALL|INFLOW face stays INFLOW).
     other_r = np.isin(rt, _BOUNDARY[_BOUNDARY != NodeType.INFLOW])
-    wall = (is_b_l & (rt == NodeType.WALL_BOUNDARY) & True) | \
+    wall = (is_b_l & (rt == NodeType.WALL_BOUNDARY)) | \
            (other_r & (lt == NodeType.WALL_BOUNDARY))
     face_type[wall] = NodeType.WALL_BOUNDARY
 

@@ -18,8 +18,14 @@ from gen_fvgn_tpu.models.mlp import Gathered, Mlp
 from gen_fvgn_tpu.ops.blocksparse import apply_linop
 
 # Use the composed gsadj/gradj operators for the EdgeBlock's Gathered
-# projections when the StaticPack carries them (A/B kill-switch).
-_COMPOSED_GATHER = True
+# projections when the StaticPack carries them. Default OFF: measured
+# SLOWER than the take path on the bench case (38.79 vs 38.14 ms/step,
+# scripts/composed_gather_ab.py on the v5e chip — the ~7-nnz/row composed
+# operator's windowed spmm costs more than the adj apply + two takes it
+# replaces). Kept as a tested capability: the composed path zeroes padded
+# rows (no take row-0 carve-out), so it is the safe choice for any future
+# consumer of padded edge rows that is not structural.
+_COMPOSED_GATHER = False
 
 
 def use_composed_gather(enabled: bool = True) -> None:

@@ -35,6 +35,18 @@ def _loss_fn(simulator_apply, cfg):
     return f
 
 
+def _batch_size(tree) -> int:
+    return jax.tree_util.tree_leaves(tree)[0].shape[0]
+
+
+def _use_chunks(cfg: Config, b: int) -> bool:
+    """Solve batches above the per-chip microbatch peak run as sequential
+    chunks (pad + zero-weight remainder — exact batch-mean loss/grads,
+    training/chunking.py). Below it the unchunked vmapped forward is both
+    the fast path and the one every existing test pins."""
+    return bool(cfg.microbatch) and b > cfg.microbatch
+
+
 def make_adam_chunk(cfg: Config, simulator_apply, lr: float,
                     chunk: int = 20) -> Callable:
     """Jitted: run `chunk` Adam steps against a frozen batch via lax.scan.
@@ -43,20 +55,50 @@ def make_adam_chunk(cfg: Config, simulator_apply, lr: float,
     opt = optax.adam(lr)
 
     def run(params, opt_state, norm_state, batch):
+        b, mb = _batch_size(batch), cfg.microbatch
+        chunked = _use_chunks(cfg, b)
+
+        def loss_w(p, bk, wk):
+            from gen_fvgn_tpu.training.forward import training_loss_weighted
+            out = forward_batch(simulator_apply, p, norm_state, bk, cfg,
+                                accumulate_normalizer=False)
+            return training_loss_weighted(out, cfg, wk), out
+
         def body(carry, _):
             params, opt_state = carry
-            (loss, out), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, norm_state, batch)
+            if chunked:
+                from gen_fvgn_tpu.training.chunking import \
+                    chunked_value_and_grad
+                loss, grads, _ = chunked_value_and_grad(
+                    loss_w, params, batch, b, mb)
+            else:
+                (loss, _), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, norm_state, batch)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
 
         (params, opt_state), losses = jax.lax.scan(
             body, (params, opt_state), None, length=chunk)
-        _, out = loss_fn(params, norm_state, batch)
+        out = _final_outputs(
+            lambda: loss_fn(params, norm_state, batch)[1],
+            lambda bk: forward_batch(simulator_apply, params, norm_state,
+                                     bk, cfg, accumulate_normalizer=False),
+            norm_state, batch, chunked, b, mb)
         return params, opt_state, losses, out
 
     return jax.jit(run), opt
+
+
+def _final_outputs(unchunked_thunk, fwd1, norm_state, data, chunked, b, mb):
+    """Post-solve per-sample outputs: the unchunked forward, or the exact
+    chunked forward sliced to the real rows (training/chunking.py)."""
+    if not chunked:
+        return unchunked_thunk()
+    from gen_fvgn_tpu.training.chunking import chunked_forward
+    outs = chunked_forward(
+        lambda dk: fwd1(dk)._replace(norm_state=None), data, b, mb)
+    return outs._replace(norm_state=norm_state)
 
 
 def solve_adam(
@@ -116,8 +158,23 @@ def make_lbfgs_solver(cfg: Config, simulator_apply,
     opt = optax.lbfgs(memory_size=memory_size)
 
     def run(params, norm_state, batch):
-        def pure_loss(p):
-            return loss_fn(p, norm_state, batch)[0]
+        b, mb = _batch_size(batch), cfg.microbatch
+        chunked = _use_chunks(cfg, b)
+        if chunked:
+            # L-BFGS's line search calls pure_loss itself, so the CHUNKED
+            # loss must be the value_fn: a remat'd chunk scan keeps the
+            # backward at one-chunk peak memory (chunking.py).
+            from gen_fvgn_tpu.training.chunking import chunked_loss_fn
+            from gen_fvgn_tpu.training.forward import training_loss_weighted
+
+            def loss_w(p, bk, wk):
+                out = forward_batch(simulator_apply, p, norm_state, bk, cfg,
+                                    accumulate_normalizer=False)
+                return training_loss_weighted(out, cfg, wk), out
+            pure_loss = chunked_loss_fn(loss_w, batch, b, mb)
+        else:
+            def pure_loss(p):
+                return loss_fn(p, norm_state, batch)[0]
 
         value_and_grad = optax.value_and_grad_from_state(pure_loss)
 
@@ -133,7 +190,11 @@ def make_lbfgs_solver(cfg: Config, simulator_apply,
         opt_state = opt.init(params)
         (params, opt_state), values = jax.lax.scan(
             body, (params, opt_state), None, length=max_iter)
-        _, out = loss_fn(params, norm_state, batch)
+        out = _final_outputs(
+            lambda: loss_fn(params, norm_state, batch)[1],
+            lambda bk: forward_batch(simulator_apply, params, norm_state,
+                                     bk, cfg, accumulate_normalizer=False),
+            norm_state, batch, chunked, b, mb)
         return params, values, out
 
     return jax.jit(run)
@@ -190,16 +251,38 @@ def solve_adam_block(cfg, params, norm_state, simulator_apply, dyn, static,
 
     @jax.jit
     def run(params, opt_state, norm_state, dyn, static):
+        from gen_fvgn_tpu.training.forward_block import forward_batch_block
+        b, mb = _batch_size(dyn), cfg.microbatch
+        chunked = _use_chunks(cfg, b)
+
+        def loss_w(p, dk, wk):
+            from gen_fvgn_tpu.training.forward import training_loss_weighted
+            out = forward_batch_block(simulator_apply, p, norm_state, dk,
+                                      static, cfg,
+                                      accumulate_normalizer=False)
+            return training_loss_weighted(out, cfg, wk), out
+
         def body(carry, _):
             params, opt_state = carry
-            (loss, out), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, norm_state, dyn, static)
+            if chunked:
+                from gen_fvgn_tpu.training.chunking import \
+                    chunked_value_and_grad
+                loss, grads, _ = chunked_value_and_grad(
+                    loss_w, params, dyn, b, mb)
+            else:
+                (loss, _), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, norm_state, dyn, static)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
         (params, opt_state), losses = jax.lax.scan(
             body, (params, opt_state), None, length=inner_steps)
-        _, out = loss_fn(params, norm_state, dyn, static)
+        out = _final_outputs(
+            lambda: loss_fn(params, norm_state, dyn, static)[1],
+            lambda dk: forward_batch_block(
+                simulator_apply, params, norm_state, dk, static, cfg,
+                accumulate_normalizer=False),
+            norm_state, dyn, chunked, b, mb)
         return params, opt_state, losses, out
 
     history = []
@@ -230,8 +313,22 @@ def solve_lbfgs_block(cfg, params, norm_state, simulator_apply, dyn, static,
 
     @jax.jit
     def run(params, norm_state, dyn, static):
-        def pure_loss(p):
-            return loss_fn(p, norm_state, dyn, static)[0]
+        from gen_fvgn_tpu.training.forward_block import forward_batch_block
+        b, mb = _batch_size(dyn), cfg.microbatch
+        chunked = _use_chunks(cfg, b)
+        if chunked:
+            from gen_fvgn_tpu.training.chunking import chunked_loss_fn
+            from gen_fvgn_tpu.training.forward import training_loss_weighted
+
+            def loss_w(p, dk, wk):
+                out = forward_batch_block(simulator_apply, p, norm_state,
+                                          dk, static, cfg,
+                                          accumulate_normalizer=False)
+                return training_loss_weighted(out, cfg, wk), out
+            pure_loss = chunked_loss_fn(loss_w, dyn, b, mb)
+        else:
+            def pure_loss(p):
+                return loss_fn(p, norm_state, dyn, static)[0]
         value_and_grad = optax.value_and_grad_from_state(pure_loss)
 
         def body(carry, _):
@@ -246,7 +343,12 @@ def solve_lbfgs_block(cfg, params, norm_state, simulator_apply, dyn, static,
         opt_state = opt.init(params)
         (params, opt_state), values = jax.lax.scan(
             body, (params, opt_state), None, length=max_iter)
-        _, out = loss_fn(params, norm_state, dyn, static)
+        out = _final_outputs(
+            lambda: loss_fn(params, norm_state, dyn, static)[1],
+            lambda dk: forward_batch_block(
+                simulator_apply, params, norm_state, dk, static, cfg,
+                accumulate_normalizer=False),
+            norm_state, dyn, chunked, b, mb)
         return params, values, out
 
     history = []

@@ -28,26 +28,18 @@ def make_eval_step_block(cfg: Config, simulator_apply) -> Callable:
     def step(params, norm_state, dyn, static):
         b = jax.tree_util.tree_leaves(dyn)[0].shape[0]
         mb = cfg.microbatch
-        if not mb or b <= mb or b % mb:
-            # non-divisible batches fall back to the unchunked forward —
-            # they re-enter the vmapped-gather regime above mb, so prefer
-            # eval batch sizes divisible by cfg.microbatch. (Eval chunking
-            # is also not dp-aware — rollout/instance-opt run single-mesh.)
+        if not mb or b <= mb:
             return fwd(params, norm_state, dyn, static)
-        n_k = b // mb
-        dyn_k = jax.tree_util.tree_map(
-            lambda x: x.reshape((n_k, mb) + x.shape[1:]), dyn)
-        outs = jax.lax.map(
-            lambda dk: fwd(params, norm_state, dk, static), dyn_k)
-        unchunk = lambda x: x.reshape((b,) + x.shape[2:])
-        return outs._replace(
-            loss_cont=unchunk(outs.loss_cont),
-            loss_mom_x=unchunk(outs.loss_mom_x),
-            loss_mom_y=unchunk(outs.loss_mom_y),
-            loss_press=unchunk(outs.loss_press),
-            uvp_node_new=unchunk(outs.uvp_node_new),
-            uvp_cell_new=unchunk(outs.uvp_cell_new),
-            norm_state=norm_state)
+        # non-divisible batches pad with duplicate rows to a chunk multiple
+        # and slice the outputs back — exact (per-sample independence), no
+        # fall-through to the vmapped-gather regime above mb. (Eval
+        # chunking is not dp-aware — rollout/instance-opt run single-mesh.)
+        from gen_fvgn_tpu.training.chunking import chunked_forward
+        outs = chunked_forward(
+            lambda dk: fwd(params, norm_state, dk, static)._replace(
+                norm_state=None),
+            dyn, b, mb)
+        return outs._replace(norm_state=norm_state)
     return jax.jit(step)
 
 
