@@ -175,20 +175,23 @@ def _train_block(cfg, case_dirs, cases, log_base_dir, seed, n_epochs,
                    cases=cases, engine="block", tile=cfg.tile)
     cfg = cfg.replace(dataset_size=len(pool))
 
-    first_ci, first_idxs = pool.block_batches(step_seed=0)[0]
+    if cfg.mixed_case_batches:
+        # stratified per-case batches can be EMPTY under mixing (batch_size
+        # may exceed any one case's env count); init from the first mixed
+        # group instead — params are batch-size independent
+        first_ci, first_idxs, _, _ = pool.mixed_block_batches(step_seed=0)[0][0]
+    else:
+        first_ci, first_idxs = pool.block_batches(step_seed=0)[0]
     dyn0 = pool.gather_block(first_idxs)
     state, apply_fn = init_train_state_block(cfg, dyn0, pool.statics[first_ci],
                                              seed=seed)
     if resume_from is not None:
         state = load_state(resume_from, like=state)
-    mixed = None
-    if cfg.mixed_case_batches:
-        if cfg.dp_devices > 1 or cfg.sp_devices > 1:
-            raise NotImplementedError(
-                "mixed_case_batches + dp/sp sharding: per-case groups have "
-                "data-dependent sizes that cannot shard evenly; use the "
-                "default stratified batches with dp/sp")
-        mixed = MixedTrainStepBlock(cfg, apply_fn)
+    if cfg.mixed_case_batches and cfg.sp_devices > 1:
+        raise NotImplementedError(
+            "mixed_case_batches + sp sharding: mixed groups dispatch "
+            "per-case jits whose operand layouts conflict with sp's "
+            "operator sharding; use stratified batches with sp")
     step = make_train_step_block(cfg, apply_fn)
 
     # data parallelism: dyn batch sharded over the dp mesh, params/opt state
@@ -222,6 +225,14 @@ def _train_block(cfg, case_dirs, cases, log_base_dir, seed, n_epochs,
         state = shard_train_state(state, mesh)
         statics = [shard_static(s, mesh) for s in pool.statics]
 
+    mixed = None
+    if cfg.mixed_case_batches:
+        # mixed + dp: per-case groups pad to a multiple of dp_devices
+        # (pool.mixed_block_batches n_dev) and shard row-wise over the
+        # mesh; the weighted-sum gradient identity is device-count
+        # independent (train_block.MixedTrainStepBlock)
+        mixed = MixedTrainStepBlock(cfg, apply_fn, mesh=mesh)
+
     if logger is None:
         logger = RunLogger(log_base_dir, cfg, seed=seed,
                            use_tensorboard=use_tensorboard)
@@ -242,7 +253,9 @@ def _train_block(cfg, case_dirs, cases, log_base_dir, seed, n_epochs,
             train_steps += 1
             payback = i_iter == cfg.max_inner_steps - 1
             if mixed is not None:
-                for batch in pool.mixed_block_batches(step_seed=train_steps):
+                for batch in pool.mixed_block_batches(
+                        step_seed=train_steps,
+                        n_dev=max(cfg.dp_devices, 1)):
                     state, metrics = mixed.run_batch(
                         state, batch, pool.gather_block, statics,
                         payback=pool.payback_block if payback else None)

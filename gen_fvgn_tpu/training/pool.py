@@ -270,7 +270,7 @@ class EnvPool:
         rng.shuffle(out)
         return out
 
-    def mixed_block_batches(self, step_seed: int):
+    def mixed_block_batches(self, step_seed: int, n_dev: int = 1):
         """Reference-parity mixed sampler (SharedSampler,
         Graph_loader.py:786-828): ONE global permutation over all envs cut
         into batch_size chunks, each chunk split into per-case groups so
@@ -279,7 +279,12 @@ class EnvPool:
         Groups are padded to the next power of two with repeated rows at
         weight 0 (few compiled shapes); real rows carry weight
         1/batch_size, so the sum of weighted group gradients is EXACTLY
-        the batch-mean gradient of the reference's mixed batch."""
+        the batch-mean gradient of the reference's mixed batch.
+
+        n_dev > 1 (mixed batches under dp): every group additionally pads
+        to a multiple of n_dev so its rows shard evenly over the dp mesh —
+        fixed-shape group packing; the weighted-sum gradient is unchanged
+        because pad rows carry weight 0."""
         rng = np.random.default_rng(step_seed)
         bs = self.cfg.batch_size
         perm = rng.permutation(len(self.envs))
@@ -295,6 +300,10 @@ class EnvPool:
                 ix = groups[ci]
                 g = len(ix)
                 gp = 1 << (g - 1).bit_length()
+                if n_dev > 1:
+                    gp = max(gp, n_dev)
+                    if gp % n_dev:              # n_dev not a power of two
+                        gp = -(-gp // n_dev) * n_dev
                 idxs = np.asarray(ix + [ix[k % g] for k in range(gp - g)],
                                   np.int32)
                 w = np.zeros(gp, np.float32)

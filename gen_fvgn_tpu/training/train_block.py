@@ -184,10 +184,22 @@ class MixedTrainStepBlock:
 
     Compiled shapes stay few: groups are padded to powers of two, so each
     case compiles at most log2(batch_size)+1 group sizes.
+
+    dp (mesh != None): each group's rows are sharded over the dp mesh
+    (groups pad to a multiple of dp_devices in mixed_block_batches, pad
+    rows weight 0), params/statics replicated — XLA inserts the gradient
+    psum exactly as in the stratified dp step. The weighted-sum gradient
+    identity is device-count independent, so mixed+dp reproduces the
+    single-device mixed step (round-3 verdict #6).
     """
 
-    def __init__(self, cfg: Config, simulator_apply):
+    def __init__(self, cfg: Config, simulator_apply, mesh=None):
+        from gen_fvgn_tpu.parallel.dp import (batch_sharding,
+                                              replicate_sharding)
         self.cfg = cfg
+        self.mesh = mesh
+        self._batch_sh = batch_sharding(mesh) if mesh is not None else None
+        self._repl_sh = replicate_sharding(mesh) if mesh is not None else None
         opt = _make_optimizer(cfg)
         schedule = step_exp_lr(cfg)
         n_feat = cfg.node_input_size - cfg.node_phi_size
@@ -274,6 +286,21 @@ class MixedTrainStepBlock:
         # the whole state would alias a donated buffer with a live input
         self.apply_update = jax.jit(apply_update, donate_argnums=(1,))
 
+    def _shard_group(self, dyn, w):
+        """dp: group rows sharded over the mesh, per-batch scalars
+        replicated (same layout rule as parallel/dp.shard_block_batch)."""
+        if self.mesh is None:
+            import jax.numpy as jnp
+            return dyn, jnp.asarray(w)
+        b = w.shape[0]
+        dyn = jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                x, self._batch_sh
+                if getattr(x, "ndim", 0) >= 1 and x.shape[0] == b
+                else self._repl_sh),
+            dyn)
+        return dyn, jax.device_put(w, self._batch_sh)
+
     def run_batch(self, state: TrainState, batch, gather, statics,
                   payback=None):
         """Drive one mixed batch: `batch` is pool.mixed_block_batches()[i]
@@ -284,12 +311,14 @@ class MixedTrainStepBlock:
         if self.cfg.norm_global:
             sums = self.init_sums()
             for ci, idxs, w, _ in batch:
-                sums = self.group_stats(sums, gather(idxs), statics[ci], w)
+                dyn, wj = self._shard_group(gather(idxs), w)
+                sums = self.group_stats(sums, dyn, statics[ci], wj)
             norm_state = self.norm_update(norm_state, sums)
         acc = self.init_acc(state.params)
         for ci, idxs, w, g in batch:
+            dyn, wj = self._shard_group(gather(idxs), w)
             acc, uvp_new = self.group_grads(
-                state.params, norm_state, acc, gather(idxs), statics[ci], w)
+                state.params, norm_state, acc, dyn, statics[ci], wj)
             if payback is not None:
                 payback(idxs[:g], uvp_new[:g])
         return self.apply_update(state, acc, norm_state)

@@ -43,3 +43,66 @@ def cavity_case_dir() -> str:
 @pytest.fixture(scope="session")
 def cylinder_case_dir() -> str:
     return str(REFERENCE_MESHES / "cylinder_flow_tri_quad")
+
+
+# ---- slow-tier marking (round-4 verdict #10) ----
+# Function names measured >15s on the sandbox CPU (r4 `--durations` run of
+# the full suite, 51:32 total). The fast tier `pytest -m "not slow"` covers
+# every module in <10 min; the full suite runs before round-end. Marked
+# centrally so per-file decorators don't drift from the measurements.
+_SLOW_TESTS = {
+    "test_airfoil_aoa_sweep_training_smoke",
+    "test_block_loss_grad_fused_vs_unfused",
+    "test_two_process_distributed_dryrun",
+    "test_block_train_loop_honors_dp_devices",
+    "test_poly_case_block_train_step",
+    "test_mixed_two_case_gradient_exactness",
+    "test_mixed_dp_matches_single_device",
+    "test_mixed_dp_loop_driver",
+    "test_packed_loss_grad_matches_vmapped",
+    "test_mixed_vs_stratified_equivalent",
+    "test_packed_forward_matches_vmapped",
+    "test_export_on_reset_leaves_artifacts",
+    "test_block_engine_dp_matches_single_device",
+    "test_block_engine_dp_sp_matches_single_device",
+    "test_block_loss_grad_pallas_spmm_vs_einsum",
+    "test_node_agg_variants_match_split",
+    "test_microbatch_dp_chunking_is_device_balanced",
+    "test_integrator_block_matches_segment",
+    "test_block_instance_opt",
+    "test_dp_matches_single_device",
+    "test_solve_lbfgs_runs",
+    "test_tiered_training_runs_and_decreases",
+    "test_pretrain_then_solve_cli",
+    "test_composed_gather_matches_take_path",
+    "test_poisson_residual_converges",
+    "test_block_train_loop_honors_sp_devices",
+    "test_solve_cli_sp_devices_matches_unsharded",
+    "test_padding_invariance",
+    "test_mixed_loop_driver",
+    "test_mixed_single_case_matches_standard_step",
+    "test_microbatch_guard_falls_back_unchunked",
+    "test_microbatch_chunking_matches_full_batch",
+    "test_physics_attention_fused_vs_reference",
+    "test_fused_slice_pool_vmap_matches_per_sample",
+    "test_train_loop_driver",
+    "test_block_engine_matches_reference",
+    "test_solve_adam_reduces_residual",
+    "test_block_bf16_stream_trains",
+    "test_block_loop_driver",
+    "test_fv_ell_loss_grad_matches_dense",
+    "test_packed_integrator_matches_vmapped",
+    "test_checkpoint_resume_bitexact",
+    "test_chunked_value_and_grad_matches_unchunked",
+    "test_chunked_loss_fn_value_and_grad",
+    "test_eval_step_block_nondivisible_matches_unchunked",
+    "test_solve_adam_block_chunked_matches_unchunked",
+    "test_solve_lbfgs_block_chunked_matches_unchunked",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.name.split("[", 1)[0]
+        if base in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
