@@ -224,6 +224,61 @@ def _pallas_enabled() -> bool:
     return _USE_PALLAS
 
 
+# Under sp (spatial) sharding the Pallas kernels cannot run as plain
+# single-device programs inside the GSPMD partitioner. With an sp mesh set,
+# streaming-spmm applies run as shard_map programs over the "sp" axis
+# instead of falling back to XLA: each device runs the kernel on its OWN
+# out-tile rows of the operator (blocks/in_tile are device_put P("sp") by
+# parallel/sp.shard_static_sp) against the full operand (GSPMD all-gathers
+# the small bf16 activation over sp at the shard_map boundary — the same
+# collective the XLA path needs), and the output comes back row-sharded.
+# in_tile holds GLOBAL operand-tile indices, so the local kernels are
+# unchanged. Process-global like use_pallas_spmm: set before tracing.
+_SP_MESH = None
+
+
+def set_sp_mesh(mesh) -> None:
+    """mesh: a jax.sharding.Mesh with an "sp" axis (parallel/sp.py), or
+    None to restore single-device kernel dispatch."""
+    global _SP_MESH
+    _SP_MESH = mesh
+
+
+def _sp_shardable(op: "BlockOp") -> bool:
+    return (_SP_MESH is not None
+            and op.blocks.shape[0] % _SP_MESH.shape["sp"] == 0)
+
+
+def _sp_spmm(blocks, in_tile, x, out_dtype, interpret: bool):
+    """shard_map spmm over the sp axis. x: [n_in, F] or batched
+    [B, n_in, F] (batch sharded over a dp axis when it divides).
+    check_vma=False: pallas_call carries no varying-manual-axes rule."""
+    from jax.sharding import PartitionSpec as P
+
+    from gen_fvgn_tpu.ops.pallas_spmm import (pallas_block_spmm,
+                                              pallas_block_spmm_binner)
+    mesh = _SP_MESH
+    if x.ndim == 2:
+        def local2(bl, ti, xl):
+            return pallas_block_spmm(bl, ti, xl, out_dtype=out_dtype,
+                                     interpret=interpret)
+        fn = jax.shard_map(local2, mesh=mesh, check_vma=False,
+                           in_specs=(P("sp"), P("sp"), P(None, None)),
+                           out_specs=P("sp", None))
+        return fn(blocks, in_tile, x)
+    dp_axes = [a for a in mesh.axis_names if a != "sp" and mesh.shape[a] > 1]
+    dp_ax = (dp_axes[0] if dp_axes and x.shape[0] % mesh.shape[dp_axes[0]] == 0
+             else None)
+
+    def local3(bl, ti, xl):
+        return pallas_block_spmm_binner(bl, ti, xl, out_dtype=out_dtype,
+                                        interpret=interpret)
+    fn = jax.shard_map(local3, mesh=mesh, check_vma=False,
+                       in_specs=(P("sp"), P("sp"), P(dp_ax, None, None)),
+                       out_specs=P(dp_ax, "sp", None))
+    return fn(blocks, in_tile, x)
+
+
 # Route take-indexed (one-hot row-gather) FORWARDS through the windowed
 # spmm kernel instead of jnp.take (A/B experiment knob; see spmm_ab.py).
 _PALLAS_TAKE = False
@@ -326,6 +381,33 @@ def _make_spmm_vmappable_window(out_dtype_name: str, interpret: bool,
     return spmm
 
 
+@_functools.lru_cache(maxsize=None)
+def _make_spmm_vmappable_sp(out_dtype_name: str, interpret: bool):
+    """sp-sharded variant of _make_spmm_vmappable: both the un-vmapped and
+    the batched (custom-vmap) calls dispatch the shard_map kernels, so the
+    enclosing per-sample jax.vmap never sees a shard_map (custom_vmap
+    rewrites the call before vmap's batching rules apply). Reads _SP_MESH
+    at trace time."""
+    import jax.numpy as _jnp
+
+    out_dtype = _jnp.dtype(out_dtype_name)
+
+    @_custom_batching.custom_vmap
+    def spmm(blocks, in_tile, x):
+        return _sp_spmm(blocks, in_tile, x, out_dtype, interpret)
+
+    @spmm.def_vmap
+    def _rule(axis_size, in_batched, blocks, in_tile, x):
+        del axis_size
+        b_b, t_b, x_b = in_batched
+        if b_b or t_b or not x_b:
+            raise NotImplementedError(
+                "pallas spmm vmap expects shared operator, batched operand")
+        return _sp_spmm(blocks, in_tile, x, out_dtype, interpret), True
+
+    return spmm
+
+
 def _out_dtype(op: BlockOp, x: jnp.ndarray):
     """bf16 operand AND bf16 operator (the model message-passing path):
     emit bf16 — the step is HBM-bound and the f32 output doubles the bytes
@@ -359,12 +441,20 @@ def _apply_block_op(op: BlockOp, x: jnp.ndarray) -> jnp.ndarray:
             idx = (jnp.arange(b, dtype=jnp.int32)[:, None] * n_in
                    + op.take_idx[None, :]).reshape(-1)
             return jnp.take(xf, idx, axis=0).reshape(b, op.n_out, f)
-        if _pallas_enabled() and f % 128 == 0:
+        if _pallas_enabled() and f % 128 == 0 \
+                and (_SP_MESH is None or _sp_shardable(op)):
             from gen_fvgn_tpu.ops.pallas_spmm import (
                 pallas_block_spmm_binner, pallas_block_spmm_window)
             xin = (x.astype(jnp.bfloat16)
                    if op.blocks.dtype == jnp.bfloat16 else x)
             interp = jax.default_backend() != "tpu"
+            if _SP_MESH is not None:
+                # sp sharding: the binner runs per-shard under shard_map
+                # (window metadata replicates under sp, so the windowed
+                # form doesn't shard; ops whose out-tile dim doesn't
+                # divide sp fall through to the GSPMD-partitioned einsum)
+                return _sp_spmm(op.blocks, op.in_tile, xin,
+                                _out_dtype(op, x), interp)
             if _PALLAS_MODE == "window" and op.win_start is not None:
                 return pallas_block_spmm_window(
                     op.blocks, op.win_start, op.win_local, xin,
@@ -393,13 +483,17 @@ def _apply_block_op(op: BlockOp, x: jnp.ndarray) -> jnp.ndarray:
         # (e.g. the Gathered-part projections accumulated in f32) keep
         # full precision through the gather
         return jnp.take(x, op.take_idx, axis=0)
-    if _pallas_enabled() and x.ndim == 2 and x.shape[1] % 128 == 0:
+    if _pallas_enabled() and x.ndim == 2 and x.shape[1] % 128 == 0 \
+            and (_SP_MESH is None or _sp_shardable(op)):
         # custom-vmap wrapped: under the per-sample jax.vmap this routes to
         # the batch-inner streaming kernel (operator panel read once per
         # row-tile); un-vmapped it is the plain (nTo, K) streaming kernel
         xin = x.astype(jnp.bfloat16) if op.blocks.dtype == jnp.bfloat16 else x
         interp = jax.default_backend() != "tpu"
         dt_name = jnp.dtype(_out_dtype(op, x)).name
+        if _SP_MESH is not None:
+            fn = _make_spmm_vmappable_sp(dt_name, interp)
+            return fn(op.blocks, op.in_tile, xin)
         if _PALLAS_MODE == "window" and op.win_start is not None:
             fn = _make_spmm_vmappable_window(dt_name, interp, op.win_w,
                                              op.win_s, op.win_pad)

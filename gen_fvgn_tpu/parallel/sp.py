@@ -23,10 +23,14 @@ the mesh over sp, parameters replicate over both. Mathematically exact —
 the same ops in the same order, just partitioned; validated by loss parity
 vs the unsharded step (tests/test_parallel.py, dryrun_multichip).
 
-Constraints: the Pallas spmm/fused kernels are single-device programs —
-under sp>1 run the XLA apply path (`use_pallas_spmm(False)`) and the
-unfused MLP chain, or wrap the kernels in shard_map (future work). The
-dryrun exercises the XLA path.
+Kernels under sp: the streaming-spmm Pallas kernels run shard_map-wrapped
+over the sp axis (sp_kernel_context / blocksparse.set_sp_mesh — each device
+applies its out-tile shard of the operator to the sp-gathered operand, so
+sp>1 keeps the measured single-chip fast path instead of falling back to
+XLA). The fused MLP / attention kernels fall back to the XLA chain, which
+GSPMD row-partitions (they are elementwise over entity rows — no
+collectives needed, so the fallback costs only the single-device fusion
+margin).
 """
 
 from __future__ import annotations
@@ -49,7 +53,10 @@ def single_device_kernels_disabled():
     must take the XLA path so GSPMD can partition it. Enter this BEFORE
     tracing/initializing anything (the toggles are process-global) and it
     restores the defaults on exit, so a later sp=1 run in the same
-    process keeps the measured Pallas fast paths."""
+    process keeps the measured Pallas fast paths.
+
+    Prefer sp_kernel_context for training: it keeps the streaming-spmm
+    kernels ON via a shard_map wrap over the sp axis."""
     from gen_fvgn_tpu.models import mlp as mlp_mod
     from gen_fvgn_tpu.models import transolver as tr_mod
     from gen_fvgn_tpu.ops import blocksparse as bs
@@ -60,6 +67,34 @@ def single_device_kernels_disabled():
         yield
     finally:
         bs.use_pallas_spmm(None)
+        mlp_mod.use_fused_mlp(True)
+        tr_mod.use_fused_attn(True)
+
+
+@contextlib.contextmanager
+def sp_kernel_context(dp: int, sp: int):
+    """Kernel dispatch for an sp>1 run: the streaming-spmm kernels STAY ON,
+    wrapped per-apply in shard_map over the sp axis (each device runs the
+    binner on its own out-tile shard of the operator against the
+    sp-gathered operand — blocksparse.set_sp_mesh); the fused MLP /
+    attention kernels fall back to XLA, which GSPMD row-partitions fine
+    (they are elementwise over entity rows). backend auto-gating still
+    applies: on CPU the spmm applies take the XLA path unless a test forces
+    use_pallas_spmm(True) (interpret-mode shard_map, how the virtual-mesh
+    equivalence tests and the dryrun certify this path without a pod).
+
+    Enter BEFORE tracing/initializing anything (the toggles are
+    process-global); restores single-device dispatch on exit."""
+    from gen_fvgn_tpu.models import mlp as mlp_mod
+    from gen_fvgn_tpu.models import transolver as tr_mod
+    from gen_fvgn_tpu.ops import blocksparse as bs
+    mlp_mod.use_fused_mlp(False)
+    tr_mod.use_fused_attn(False)
+    bs.set_sp_mesh(make_dp_sp_mesh(dp, sp))
+    try:
+        yield
+    finally:
+        bs.set_sp_mesh(None)
         mlp_mod.use_fused_mlp(True)
         tr_mod.use_fused_attn(True)
 
@@ -92,8 +127,9 @@ def _put(mesh: Mesh, x, spec: P):
 
 def _shard_block_op(op: BlockOp, mesh: Mesh) -> BlockOp:
     """Shard one operator direction on its out-tile/out-row dimension.
-    Window metadata stays replicated (consumed only by the Pallas kernels,
-    which are disabled under sp)."""
+    Window metadata stays replicated (the shard_map spmm under sp uses the
+    binner form, whose in_tile table shards alongside blocks; the windowed
+    form's super-tile metadata doesn't shard evenly)."""
     return op.replace(
         blocks=_put(mesh, op.blocks, P("sp")),
         in_tile=_put(mesh, op.in_tile, P("sp")),

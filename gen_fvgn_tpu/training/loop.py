@@ -65,11 +65,10 @@ def train(
 
     if cfg.engine == "block":
         if cfg.sp_devices > 1:
-            # the Pallas kernels are single-device programs: enter the
-            # XLA-path context BEFORE anything traces, restore on exit
-            from gen_fvgn_tpu.parallel.sp import \
-                single_device_kernels_disabled
-            with single_device_kernels_disabled():
+            # sp kernel dispatch (shard_map spmm, XLA MLP chain) must be
+            # entered BEFORE anything traces; restored on exit
+            from gen_fvgn_tpu.parallel.sp import sp_kernel_context
+            with sp_kernel_context(max(cfg.dp_devices, 1), cfg.sp_devices):
                 return _train_block(cfg, case_dirs, cases, log_base_dir,
                                     seed, n_epochs, resume_from,
                                     pad_multiple, progress_every, logger,
@@ -201,8 +200,8 @@ def _train_block(cfg, case_dirs, cases, log_base_dir, seed, n_epochs,
     mesh = None
     statics = pool.statics
     if cfg.sp_devices > 1:
-        # Pallas kernels already disabled by train()'s context (they are
-        # single-device programs; the XLA paths shard under GSPMD)
+        # kernel dispatch set by train()'s sp_kernel_context: spmm runs
+        # shard_map-wrapped over sp, MLP/attention via the XLA chain
         from gen_fvgn_tpu.parallel.sp import (make_dp_sp_mesh,
                                               replicate_state,
                                               shard_block_batch_dp,

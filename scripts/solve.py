@@ -47,10 +47,10 @@ def main(argv=None):
                  engine=args.engine)
     if args.engine == "block":
         if args.sp_devices > 1:
-            # Pallas kernels are single-device programs; the sp-sharded
-            # applies must take the XLA path (restored on exit)
-            from gen_fvgn_tpu.parallel.sp import single_device_kernels_disabled
-            with single_device_kernels_disabled():
+            # sp kernel dispatch: spmm shard_map-wrapped over sp, fused
+            # MLP/attention via the XLA chain (restored on exit)
+            from gen_fvgn_tpu.parallel.sp import sp_kernel_context
+            with sp_kernel_context(1, args.sp_devices):
                 return _solve_block(cfg, args)
         return _solve_block(cfg, args)
     if args.sp_devices > 1:

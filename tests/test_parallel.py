@@ -182,6 +182,60 @@ def test_block_engine_dp_sp_matches_single_device():
                                    rtol=1e-3, atol=2.2 * cfg.lr)
 
 
+def test_block_engine_sp_pallas_shardmap_matches_xla():
+    """sp perf path (round-3 verdict #4): with an sp mesh set
+    (blocksparse.set_sp_mesh), the streaming-spmm applies run as shard_map
+    programs over the sp axis instead of falling back to XLA. On the 2x4
+    virtual mesh with kernels forced ON (interpret mode — the identical
+    dispatch Mosaic-compiles on a pod), the sharded step must match BOTH
+    the XLA-path sharded step and the unsharded single-device step."""
+    from gen_fvgn_tpu.ops import blocksparse as bs
+    from gen_fvgn_tpu.parallel.sp import (make_dp_sp_mesh, replicate_state,
+                                          shard_block_batch_dp,
+                                          shard_static_sp)
+    from gen_fvgn_tpu.training.pool import EnvPool
+    from gen_fvgn_tpu.training.train_block import (init_train_state_block,
+                                                   make_train_step_block)
+    from gen_fvgn_tpu.meshes.synthetic import cavity_quad_mesh, synthetic_case
+
+    cfg = Config(batch_size=8, dataset_size=8, mxu_dtype="float32",
+                 hidden_size=32, message_passing_num=1, slice_num=8,
+                 attn_heads=4)
+    case = synthetic_case(cavity_quad_mesh(5), continuity=1, convection=1,
+                          grad_p=1, mu=0.05, sigma=(1, 1, 1))
+    pool = EnvPool([], cfg, seed=0, cases=[case], dataset_size=8,
+                   engine="block", pad_multiple=256 * 4)
+    dyn = pool.gather_block(np.arange(8))
+    static = pool.statics[0]
+    state, apply_fn = init_train_state_block(cfg, dyn, static, seed=0)
+
+    # unsharded single-device reference (XLA path, kernels auto-off on CPU)
+    step_ref = make_train_step_block(cfg, apply_fn, donate=False)
+    s1, m1, u1 = step_ref(state, dyn, static)
+
+    mesh = make_dp_sp_mesh(2, 4)
+    dyn_s = shard_block_batch_dp(dyn, mesh, batch_size=8)
+    state_s = replicate_state(state, mesh)
+    static_s = shard_static_sp(static, mesh)
+
+    bs.use_pallas_spmm(True)          # force kernels ON (interpret on CPU)
+    bs.set_sp_mesh(mesh)
+    try:
+        step_sp = make_train_step_block(cfg, apply_fn, donate=False)
+        s2, m2, u2 = step_sp(state_s, dyn_s, static_s)
+    finally:
+        bs.set_sp_mesh(None)
+        bs.use_pallas_spmm(None)
+
+    np.testing.assert_allclose(float(m1.loss), float(m2.loss), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), rtol=1e-4,
+                               atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2.2 * cfg.lr)
+
+
 def test_block_train_loop_honors_sp_devices(tmp_path):
     """train(engine='block', sp_devices=4, dp_devices=2) must shard the
     operators over sp (and auto-raise pad_multiple to tile*sp)."""
