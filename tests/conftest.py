@@ -58,6 +58,7 @@ _SLOW_TESTS = {
     "test_poly_case_block_train_step",
     "test_mixed_two_case_gradient_exactness",
     "test_mixed_dp_matches_single_device",
+    "test_joint_three_family_train_and_rollout",
     "test_mixed_dp_loop_driver",
     "test_packed_loss_grad_matches_vmapped",
     "test_mixed_vs_stratified_equivalent",

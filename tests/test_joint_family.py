@@ -1,0 +1,86 @@
+"""Cross-family joint training: ONE network trained on a pool mixing THREE
+PDE families (NS + Poisson + wave) in one session — the reference's
+headline capability (README.md:9; combo generation Load_mesh.py:600-612).
+
+Unit-scale pin of scripts/joint_family_train.py's mechanics: the mixed-case
+block loop driver accepts a three-family pool (including wave source
+injection each epoch), trains, and the trained network rolls out on fresh
+held-out envs of EVERY family with finite residuals.
+"""
+
+import numpy as np
+import pytest
+
+from gen_fvgn_tpu.config import Config
+from gen_fvgn_tpu.meshes.synthetic import (cavity_quad_mesh, cavity_tri_mesh,
+                                           synthetic_case, wave_case)
+
+BASE = dict(mxu_dtype="float32", hidden_size=32, message_passing_num=1,
+            slice_num=8, attn_heads=4, lr=2e-3, engine="block",
+            mixed_case_batches=True)
+
+
+def _three_family_cases():
+    ns = synthetic_case(cavity_quad_mesh(6), name="ns", continuity=1,
+                        convection=1, grad_p=1, mu=0.05, source=0.0,
+                        sigma=(1, 1, 1))
+    poisson = synthetic_case(cavity_tri_mesh(5), name="poisson",
+                             continuity=0, convection=0, grad_p=0,
+                             mu=0.1, source=1.0, sigma=(1, 0, 0))
+    wave = wave_case(cavity_quad_mesh(6), source_frequency=(1.0, 1.0, 2.0),
+                     source_strength=(5.0, 5.0, 5.0), dt=0.05, name="wave")
+    return [ns, poisson, wave]
+
+
+def test_joint_three_family_train_and_rollout():
+    from gen_fvgn_tpu.graph.physics import pressure_point_source
+    from gen_fvgn_tpu.solve.rollout_block import rollout_block
+    from gen_fvgn_tpu.training.loop import train
+    from gen_fvgn_tpu.training.pool import EnvPool
+
+    cases = _three_family_cases()
+    cfg = Config(batch_size=3, dataset_size=6, n_epochs=2,
+                 max_inner_steps=2, norm_global=True, **BASE)
+    state = train(cfg, cases=cases, log_base_dir="/tmp/joint3",
+                  seed=0)
+    assert int(state.epoch) == 2
+    assert np.isfinite(np.asarray(state.norm_state.acc_sum)).all()
+
+    # held-out rollout per family with the trained params (fresh seed)
+    pool = EnvPool([], cfg, seed=99, cases=cases, engine="block",
+                   dataset_size=6)
+    from gen_fvgn_tpu.training.train_block import init_train_state_block
+    dyn0 = pool.gather_block(np.asarray([0], np.int32))
+    _, apply_fn = init_train_state_block(cfg, dyn0, pool.statics[0], seed=0)
+
+    for ci, case in enumerate(cases):
+        idxs = np.asarray([i for i, e in enumerate(pool.envs)
+                           if e.case_idx == ci], np.int32)
+        assert idxs.size == 2, "round-robin env layout: 2 envs per family"
+        dyn = pool.gather_block(idxs)
+        wave_fn = None
+        envs = [pool.envs[int(i)] for i in idxs]
+        if any(e.theta_sample.source_frequency != 0 for e in envs):
+            pos = case["mesh"]["node|pos"].astype(np.float32)
+            center = pos.mean(axis=0)
+            n_pad = np.asarray(dyn.uvp).shape[1]
+
+            def wave_fn(t, envs=envs, pos=pos, center=center, n_pad=n_pad):
+                sig = np.zeros((len(envs), n_pad), np.float32)
+                for row, e in enumerate(envs):
+                    ts = e.theta_sample
+                    s = pressure_point_source(
+                        pos, center, ts.source_frequency,
+                        ts.source_strength, ts.dt, t).reshape(-1)
+                    sig[row, : s.shape[0]] = s
+                return sig
+        hist = rollout_block(cfg, state.params, state.norm_state, apply_fn,
+                             dyn, pool.statics[ci], n_steps=3,
+                             wave_source_fn=wave_fn)
+        for r in hist:
+            for k in ("loss_cont", "loss_mom_x", "loss_mom_y", "loss_press"):
+                assert np.isfinite(r[k]).all(), (case["case_name"], k)
+        # the wave family must actually receive a source: its rollout
+        # pressure cannot stay identically zero
+        if wave_fn is not None:
+            assert np.abs(hist[-1]["uvp_node"][..., 2]).max() > 0
