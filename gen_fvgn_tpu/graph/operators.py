@@ -141,6 +141,25 @@ class MeshOperators:
     gpair_w: int = struct.field(pytree_node=False, default=0)
     gpair_s: int = struct.field(pytree_node=False, default=0)
     gpair_pad: int = struct.field(pytree_node=False, default=0)
+    # fused composed-NodeBlock pair metadata (ops/blocksparse.py::
+    # apply_node_pair): npair_* is the union window for the FORWARD
+    # pair-sum nbr_r·y[:, :h] + nbr_s·y[:, h:] (one kernel instead of two
+    # full-width applies whose half-lanes are discarded + a slice-add);
+    # npairt_* is the union window for the BACKWARD dual-output transpose
+    # dy = [nbr_rᵀg | nbr_sᵀg] (one kernel instead of two zero-padded
+    # full-width transpose applies + an add)
+    npair_start: jnp.ndarray = None    # [nSuper] i32
+    npair_la: jnp.ndarray = None       # [nToPad, Ka] i32
+    npair_lb: jnp.ndarray = None       # [nToPad, Kb] i32
+    npair_w: int = struct.field(pytree_node=False, default=0)
+    npair_s: int = struct.field(pytree_node=False, default=0)
+    npair_pad: int = struct.field(pytree_node=False, default=0)
+    npairt_start: jnp.ndarray = None   # [nSuperT] i32
+    npairt_la: jnp.ndarray = None      # [nToPadT, Ka'] i32
+    npairt_lb: jnp.ndarray = None      # [nToPadT, Kb'] i32
+    npairt_w: int = struct.field(pytree_node=False, default=0)
+    npairt_s: int = struct.field(pytree_node=False, default=0)
+    npairt_pad: int = struct.field(pytree_node=False, default=0)
     # number of folded WLSQ derivative rows per node (static metadata)
     wlsq_n_q: int = struct.field(pytree_node=False, default=2)
 
@@ -236,6 +255,7 @@ def build_mesh_operators(mesh: Dict[str, np.ndarray], order: str,
                          tile, tile, mdt, window_s=8)
 
     nbr_r = nbr_s = gsadj = gradj = None
+    npair = npairt = None
     if node_agg == "composed":
         # nbr_r = adj @ scat_r, nbr_s = adj @ scat_s — composed on the host
         # as sparse products. Entries are path counts (small integers),
@@ -267,6 +287,18 @@ def build_mesh_operators(mesh: Dict[str, np.ndarray], order: str,
                             tile, tile, mdt, window_s=8)
         gradj = build_linop(Cgr.row, Cgr.col, Cgr.data, e_pad, np_pad,
                             tile, tile, mdt, window_s=8)
+        # fused NodeBlock pair windows (apply_node_pair): forward pair-sum
+        # over node out-tiles (s_tiles=4 — the two real-valued [·, K, T, T]
+        # panel slabs are VMEM-heavy, halve the slab vs the s=8 default)
+        # and dual-output transpose over edge out-tiles
+        npair = build_pair_window_meta(
+            nbr_r.fwd.blocks, nbr_r.fwd.in_tile,
+            nbr_s.fwd.blocks, nbr_s.fwd.in_tile, s_tiles=4)
+        npairt = build_pair_window_meta(
+            nbr_r.bwd.blocks, nbr_r.bwd.in_tile,
+            nbr_s.bwd.blocks, nbr_s.bwd.in_tile, s_tiles=4)
+        if npair is None or npairt is None:
+            npair = npairt = None   # band too wide: two-apply fallback
 
     # ---- folded WLSQ operator ----
     stencil = mesh["stencil"].astype(np.int64)
@@ -370,5 +402,17 @@ def build_mesh_operators(mesh: Dict[str, np.ndarray], order: str,
         gpair_w=0 if gpair is None else gpair[3],
         gpair_s=0 if gpair is None else gpair[4],
         gpair_pad=0 if gpair is None else gpair[5],
+        npair_start=None if npair is None else jnp.asarray(npair[0]),
+        npair_la=None if npair is None else jnp.asarray(npair[1]),
+        npair_lb=None if npair is None else jnp.asarray(npair[2]),
+        npair_w=0 if npair is None else npair[3],
+        npair_s=0 if npair is None else npair[4],
+        npair_pad=0 if npair is None else npair[5],
+        npairt_start=None if npairt is None else jnp.asarray(npairt[0]),
+        npairt_la=None if npairt is None else jnp.asarray(npairt[1]),
+        npairt_lb=None if npairt is None else jnp.asarray(npairt[2]),
+        npairt_w=0 if npairt is None else npairt[3],
+        npairt_s=0 if npairt is None else npairt[4],
+        npairt_pad=0 if npairt is None else npairt[5],
         wlsq_n_q=n_q,
     )

@@ -93,12 +93,23 @@ class NodeBlockB(nn.Module):
         # fall back to the split formulation when the pack was built
         # without the composed operators (identical math either way)
         if self.node_agg == "composed" and ops.nbr_r is not None:
-            # one wide apply per half with the precomputed adj@scat
-            # operators; the half selection moves to cheap node-side lane
-            # slices (the [E, h/2] agg stream and its relayouts vanish)
-            t = apply_linop(ops.nbr_r, edge_attr)        # [N, h]
-            u = apply_linop(ops.nbr_s, edge_attr)
-            nbr_sum = t[..., :h2] + u[..., h2:]
+            from gen_fvgn_tpu.ops import blocksparse as _bs
+            if ops.npair_start is not None and _bs.node_pair_enabled():
+                # fused pair-sum kernel: nbr_r·e[:, :h2] + nbr_s·e[:, h2:]
+                # in ONE windowed pass (and ONE dual-output transpose
+                # kernel in the backward) — the two full-width applies
+                # below each compute 128 lanes of which half are discarded,
+                # then pay a slice-add; the backward additionally pays two
+                # zero-padded full-width transpose applies + an add
+                nbr_sum = _bs.apply_node_pair(ops, edge_attr)
+            else:
+                # one wide apply per half with the precomputed adj@scat
+                # operators; the half selection moves to cheap node-side
+                # lane slices (the [E, h/2] agg stream and its relayouts
+                # vanish)
+                t = apply_linop(ops.nbr_r, edge_attr)    # [N, h]
+                u = apply_linop(ops.nbr_s, edge_attr)
+                nbr_sum = t[..., :h2] + u[..., h2:]
         elif self.node_agg == "wide":
             # full-width scats (128-lane operands stay in their layout),
             # half selection via node-side lane slices, then adj

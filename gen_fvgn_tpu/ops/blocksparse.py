@@ -666,3 +666,115 @@ def apply_gather_pair(ops, y: jnp.ndarray) -> jnp.ndarray:
     return fn(ops.gather_s.fwd.blocks, ops.gather_r.fwd.blocks,
               ops.gpair_start, ops.gpair_ls, ops.gpair_lr,
               ops.gather_s.bwd, ops.gather_r.bwd, y)
+
+
+@_functools.lru_cache(maxsize=None)
+def _make_pair_sum_fn(out_dtype_name: str, interpret: bool,
+                      w: int, s: int, pad: int,
+                      tw: int, ts: int, tpad: int):
+    """Pair-sum apply out = A·y[:, :h] + B·y[:, h:] with KERNEL forward AND
+    KERNEL backward. The forward is the windowed pair-sum kernel
+    (pallas_gather_pair — generic over real-valued panels); the backward is
+    the dual-output pair-transpose kernel, dy = [Aᵀg | Bᵀg] lane-concat —
+    the XLA formulation of the same VJP needs two zero-padded full-width
+    operands, two applies and an add. custom_vjp inner / custom_vmap outer,
+    same composition as _make_gather_pair_fn (covered under value_and_grad
+    by tests/test_block_engine.py)."""
+    import jax.numpy as _jnp
+
+    out_dtype = _jnp.dtype(out_dtype_name)
+
+    from gen_fvgn_tpu.ops.pallas_spmm import (pallas_gather_pair,
+                                              pallas_pair_transpose)
+
+    @jax.custom_vjp
+    def pair_b(ba, bb, ws, la, lb, tba, tbb, tws, tla, tlb, y):
+        return pallas_gather_pair(ba, bb, ws, la, lb, y, w_tiles=w,
+                                  s_tiles=s, n_to_pad=pad,
+                                  out_dtype=out_dtype, interpret=interpret)
+
+    def _fwd(ba, bb, ws, la, lb, tba, tbb, tws, tla, tlb, y):
+        return (pair_b(ba, bb, ws, la, lb, tba, tbb, tws, tla, tlb, y),
+                (tba, tbb, tws, tla, tlb))
+
+    def _bwd(res, g):
+        tba, tbb, tws, tla, tlb = res
+        if tba.dtype == _jnp.bfloat16:
+            g = g.astype(_jnp.bfloat16)
+        dy = pallas_pair_transpose(tba, tbb, tws, tla, tlb, g,
+                                   w_tiles=tw, s_tiles=ts, n_to_pad=tpad,
+                                   out_dtype=out_dtype, interpret=interpret)
+        return (None, None, None, None, None, None, None, None, None, None,
+                dy)
+
+    pair_b.defvjp(_fwd, _bwd)
+
+    @_custom_batching.custom_vmap
+    def pair(ba, bb, ws, la, lb, tba, tbb, tws, tla, tlb, y):
+        return pair_b(ba, bb, ws, la, lb, tba, tbb, tws, tla, tlb,
+                      y[None])[0]
+
+    @pair.def_vmap
+    def _rule(axis_size, in_batched, ba, bb, ws, la, lb, tba, tbb, tws, tla,
+              tlb, y):
+        del axis_size
+        flat, _ = jax.tree_util.tree_flatten(in_batched[:10])
+        if any(flat) or not in_batched[10]:
+            raise NotImplementedError(
+                "pair-sum vmap expects shared operator, batched operand")
+        return pair_b(ba, bb, ws, la, lb, tba, tbb, tws, tla, tlb, y), True
+
+    return pair, pair_b
+
+
+_NODE_PAIR = False
+
+
+def use_node_pair(on: bool = True) -> None:
+    """Toggle for the fused NodeBlock pair-sum kernel (process-global, set
+    before tracing — scripts/spmm_ab.py). Default OFF: the step-level A/B
+    on the bench chip measured the fused form neutral-to-slightly-slower
+    than the two-apply composed path (37.6/38.1 vs 37.4/37.4 ms/step,
+    cavity b8, donate=False) — the two real-valued [·,K,T,T] panel slabs
+    per kernel cost more VMEM-pipeline slack than the discarded half-lanes
+    + slice-add they remove. Kept as a tested capability (pad-safe,
+    grad-exact: tests/test_pallas_spmm.py)."""
+    global _NODE_PAIR
+    _NODE_PAIR = bool(on)
+
+
+def node_pair_enabled() -> bool:
+    """Whether the fused NodeBlock pair-sum kernel path may dispatch:
+    kernels on and NOT under an sp mesh (the pair kernels are single-device
+    programs; sp>1 falls back to the two-apply form, which the sp shard_map
+    spmm path handles)."""
+    return _NODE_PAIR and _pallas_enabled() and _SP_MESH is None
+
+
+def apply_node_pair(ops, y: jnp.ndarray) -> jnp.ndarray:
+    """Fused composed-NodeBlock aggregation for a MeshOperators bundle
+    carrying npair_*/npairt_* union-window metadata:
+
+        nbr_sum = nbr_r @ y[:, :h] + nbr_s @ y[:, h:]      (ONE kernel)
+        d_y     = [nbr_rᵀ g | nbr_sᵀ g]                     (ONE kernel)
+
+    vs the two full-width applies + lane slice-add forward and the two
+    zero-padded transpose applies + add backward (models/gn_block.py
+    NodeBlockB "composed").
+
+    y: [n_edges, 2h] under the per-sample jax.vmap (the production model
+    path — custom_vmap routes to the batch-inner kernel), or batch-major
+    [B, n_edges, 2h] directly. A PLAIN unbatched 2-D call outside vmap
+    does not support reverse-mode (custom_vmap primals don't linearize) —
+    every model path is vmapped, matching apply_gather_pair."""
+    xin = (y.astype(jnp.bfloat16)
+           if ops.nbr_r.fwd.blocks.dtype == jnp.bfloat16 else y)
+    fn, fn_b = _make_pair_sum_fn(
+        jnp.dtype(xin.dtype).name, jax.default_backend() != "tpu",
+        ops.npair_w, ops.npair_s, ops.npair_pad,
+        ops.npairt_w, ops.npairt_s, ops.npairt_pad)
+    call = fn_b if xin.ndim == 3 else fn
+    return call(ops.nbr_r.fwd.blocks, ops.nbr_s.fwd.blocks,
+                ops.npair_start, ops.npair_la, ops.npair_lb,
+                ops.nbr_r.bwd.blocks, ops.nbr_s.bwd.blocks,
+                ops.npairt_start, ops.npairt_la, ops.npairt_lb, xin)

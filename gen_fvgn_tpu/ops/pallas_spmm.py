@@ -489,3 +489,94 @@ def pallas_gather_pair(blocks_s: jnp.ndarray, blocks_r: jnp.ndarray,
             * jnp.dtype(out_dtype).itemsize),
     )(win_start, local_s, local_r, bs_s, bs_r, yf)
     return out[:, :n_to * t_out]
+
+
+@functools.partial(jax.jit, static_argnames=("w_tiles", "s_tiles",
+                                             "n_to_pad", "interpret",
+                                             "out_dtype"))
+def pallas_pair_transpose(blocks_a: jnp.ndarray, blocks_b: jnp.ndarray,
+                          win_start: jnp.ndarray, local_a: jnp.ndarray,
+                          local_b: jnp.ndarray, g: jnp.ndarray,
+                          w_tiles: int, s_tiles: int, n_to_pad: int,
+                          interpret: bool = False,
+                          out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """out [B, nTo*To, 2h] = [A @ g | B @ g] lane-concat per batch lane.
+
+    The backward of a pair-sum y ↦ A·y[:, :h] + B·y[:, h:] w.r.t. y is
+    exactly this dual-output form with A/B the TRANSPOSE operators: the
+    cotangent g streams into VMEM once per (super-tile, lane) window and
+    BOTH halves of dy are produced without the zero-padded full-width
+    operands + final add the XLA formulation needs. Same windowed layout
+    as pallas_gather_pair (grid (nSuper, B), panels fetched once per
+    super-tile)."""
+    n_to, k_a, t_out, t_in = blocks_a.shape
+    k_b = blocks_b.shape[1]
+    b, n_in, h = g.shape
+    n_ti = n_in // t_in
+    n_super = n_to_pad // s_tiles
+
+    def pad_blocks(blk):
+        if n_to_pad != n_to:
+            pad = jnp.zeros((n_to_pad - n_to,) + blk.shape[1:], blk.dtype)
+            blk = jnp.concatenate([blk, pad], axis=0)
+        return blk.reshape(n_super, s_tiles, blk.shape[1], t_out, t_in)
+
+    bs_a = pad_blocks(blocks_a)
+    bs_b = pad_blocks(blocks_b)
+    gf = g.reshape(b * n_ti * t_in, h)
+
+    def kernel(ws_ref, la_ref, lb_ref, pa_ref, pb_ref, g_ref, out_ref):
+        i_s = pl.program_id(0)
+        for t in range(s_tiles):
+            acc_a = None
+            for j in range(k_a):
+                idx = la_ref[i_s * s_tiles + t, j]
+                gt = g_ref[pl.dslice(idx * t_in, t_in), :]
+                p = jax.lax.dot_general(
+                    pa_ref[0, t, j], gt,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc_a = p if acc_a is None else acc_a + p
+            acc_b = None
+            for j in range(k_b):
+                idx = lb_ref[i_s * s_tiles + t, j]
+                gt = g_ref[pl.dslice(idx * t_in, t_in), :]
+                p = jax.lax.dot_general(
+                    pb_ref[0, t, j], gt,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc_b = p if acc_b is None else acc_b + p
+            out_ref[0, t * t_out:(t + 1) * t_out, :] = jnp.concatenate(
+                [acc_a, acc_b], axis=-1).astype(out_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_super, b),
+        in_specs=[
+            pl.BlockSpec((1, s_tiles, k_a, t_out, t_in),
+                         lambda i, bi, ws, la, lb: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, s_tiles, k_b, t_out, t_in),
+                         lambda i, bi, ws, la, lb: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((pl.Element(w_tiles * t_in), pl.Element(h)),
+                         lambda i, bi, ws, la, lb:
+                         ((bi * n_ti + ws[i]) * t_in, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, s_tiles * t_out, 2 * h),
+                               lambda i, bi, ws, la, lb: (bi, i, 0)),
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n_to_pad * t_out, 2 * h),
+                                       out_dtype),
+        interpret=interpret,
+        cost_estimate=_cost(
+            n_to_pad * b, k_a + k_b, t_out, t_in, h,
+            x_bytes=n_super * b * w_tiles * t_in * h * g.dtype.itemsize,
+            blocks_bytes=int(bs_a.size) * bs_a.dtype.itemsize
+            + int(bs_b.size) * bs_b.dtype.itemsize,
+            out_bytes=b * n_to_pad * t_out * 2 * h
+            * jnp.dtype(out_dtype).itemsize),
+    )(win_start, local_a, local_b, bs_a, bs_b, gf)
+    return out[:, :n_to * t_out]

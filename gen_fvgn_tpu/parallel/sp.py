@@ -186,6 +186,15 @@ def shard_static_sp(static: StaticPack, mesh: Mesh) -> StaticPack:
         gpair_start=repl(ops.gpair_start),
         gpair_ls=repl(ops.gpair_ls),
         gpair_lr=repl(ops.gpair_lr),
+        # pair-sum windows replicate; the pair kernels themselves are
+        # disabled under sp (blocksparse.node_pair_enabled) — the sharded
+        # two-apply fallback runs instead
+        npair_start=repl(ops.npair_start),
+        npair_la=repl(ops.npair_la),
+        npair_lb=repl(ops.npair_lb),
+        npairt_start=repl(ops.npairt_start),
+        npairt_la=repl(ops.npairt_la),
+        npairt_lb=repl(ops.npairt_lb),
     )
     return static.replace(
         ops=new_ops,

@@ -56,18 +56,19 @@ def main():
     from gen_fvgn_tpu.models import transolver as tr
 
     tiles_std = (512, 256, 128)
-    # (name, pallas_spmm, pallas_take, node_agg, fused_attn)
+    # (name, pallas_spmm, pallas_take, node_agg, fused_attn, node_pair)
     variants = (
-        ("default", None, False, "composed", True),
-        ("noattn", None, False, "composed", False),
-        ("pltake", None, True, "composed", True),
-        ("binner", "binner", False, "composed", True),
-        ("xla", False, False, "composed", False),
-        ("default2", None, False, "composed", True),
-        ("noattn2", None, False, "composed", False),
+        ("default", None, False, "composed", True, True),
+        ("nopair", None, False, "composed", True, False),
+        ("noattn", None, False, "composed", False, True),
+        ("pltake", None, True, "composed", True, True),
+        ("binner", "binner", False, "composed", True, True),
+        ("xla", False, False, "composed", False, False),
+        ("default2", None, False, "composed", True, True),
+        ("nopair2", None, False, "composed", True, False),
     )
     only = os.environ.get("AB_ONLY")
-    for name, spmm, take, agg, fattn in variants:
+    for name, spmm, take, agg, fattn, pair in variants:
         if only and only != name:
             continue
         cfg, static, dyn, state, apply_fn = setup(agg)
@@ -76,6 +77,7 @@ def main():
         else:
             bs.use_pallas_spmm(spmm)
         bs.use_pallas_take(take)
+        bs.use_node_pair(pair)
         tr.use_fused_attn(fattn)
         step = make_train_step_block(cfg, apply_fn, donate=False)
         ms = time_step(step, state, dyn, static)
@@ -83,6 +85,7 @@ def main():
               flush=True)
     bs.use_pallas_spmm(None)
     bs.use_pallas_take(False)
+    bs.use_node_pair(True)
     tr.use_fused_attn(True)
     fm.set_tile_m_candidates(tiles_std)
 

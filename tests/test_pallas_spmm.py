@@ -117,3 +117,101 @@ def test_pallas_gather_pair_matches_takes():
         jnp.asarray(lr), jnp.asarray(y), w_tiles=w, s_tiles=s, n_to_pad=pad,
         interpret=True, out_dtype=jnp.float32))
     np.testing.assert_allclose(out[:, :n_edges], ref, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_pair_transpose_matches_concat():
+    """Dual-output pair-transpose kernel vs concat(A@g, B@g) reference."""
+    from gen_fvgn_tpu.ops.blocksparse import build_block_op, _apply_block_op
+    from gen_fvgn_tpu.ops.pallas_spmm import (build_pair_window_meta,
+                                              pallas_pair_transpose)
+    rng = np.random.default_rng(5)
+    b, n_nodes, n_edges, h = 2, 1024, 1536, 64
+    t = 256
+    base = (np.arange(n_edges) * n_nodes // n_edges)
+    s_idx = np.clip(base + rng.integers(-40, 40, n_edges), 0, n_nodes - 1)
+    r_idx = np.clip(base + rng.integers(-40, 40, n_edges), 0, n_nodes - 1)
+    e = np.arange(n_edges)
+    va = rng.normal(size=n_edges).astype(np.float32)
+    vb = rng.normal(size=n_edges).astype(np.float32)
+    # transpose-shaped ops [E <- N] with real values (the nbr_r/nbr_s.bwd
+    # role in apply_node_pair's backward)
+    op_a = build_block_op(e, s_idx, va, n_edges, n_nodes, t, t)
+    op_b = build_block_op(e, r_idx, vb, n_edges, n_nodes, t, t)
+    meta = build_pair_window_meta(op_a.blocks, op_a.in_tile,
+                                  op_b.blocks, op_b.in_tile, s_tiles=2)
+    assert meta is not None
+    ws, la, lb, w, s, pad = meta
+    g = rng.normal(size=(b, n_nodes, h)).astype(np.float32)
+    ref = np.concatenate([
+        np.stack([np.asarray(_apply_block_op(op_a, jnp.asarray(gi)))
+                  for gi in g]),
+        np.stack([np.asarray(_apply_block_op(op_b, jnp.asarray(gi)))
+                  for gi in g])], axis=-1)
+    out = np.asarray(pallas_pair_transpose(
+        op_a.blocks, op_b.blocks, jnp.asarray(ws), jnp.asarray(la),
+        jnp.asarray(lb), jnp.asarray(g), w_tiles=w, s_tiles=s, n_to_pad=pad,
+        interpret=True, out_dtype=jnp.float32))
+    np.testing.assert_allclose(out, ref[:, :n_edges], rtol=1e-4, atol=1e-4)
+
+
+def test_apply_node_pair_matches_two_apply():
+    """apply_node_pair (fused pair-sum fwd + dual-transpose bwd kernels) vs
+    the two-apply composed NodeBlock form: values AND input cotangents,
+    unbatched and under vmap, on real mesh operators."""
+    from gen_fvgn_tpu.config import Config
+    from gen_fvgn_tpu.meshes.geometry import compile_mesh
+    from gen_fvgn_tpu.meshes.synthetic import cavity_quad_mesh
+    from gen_fvgn_tpu.graph.operators import rcm_reorder
+    from gen_fvgn_tpu.training.pool import EnvPool
+    from gen_fvgn_tpu.meshes.synthetic import synthetic_case
+    from gen_fvgn_tpu.ops import blocksparse as bs
+
+    cfg = Config(batch_size=2, dataset_size=2, mxu_dtype="bfloat16",
+                 hidden_size=128, message_passing_num=1, slice_num=8,
+                 attn_heads=4)
+    mesh = compile_mesh(rcm_reorder(dict(cavity_quad_mesh(7))))
+    case = synthetic_case(mesh, continuity=1, convection=1, grad_p=1,
+                          mu=0.05, sigma=(1, 1, 1))
+    pool = EnvPool([], cfg, seed=0, pad_multiple=256, cases=[case],
+                   engine="block")
+    ops = pool.statics[0].ops
+    assert ops.npair_start is not None, "npair window must build on cavity"
+
+    e_pad = ops.nbr_r.fwd.in_tile.shape[0] * 0 + ops.gather_s.fwd.n_out
+    rng = np.random.default_rng(6)
+    h2 = 64
+    y1 = jnp.asarray(rng.normal(size=(e_pad, 2 * h2)), jnp.bfloat16)
+    yb = jnp.asarray(rng.normal(size=(2, e_pad, 2 * h2)), jnp.bfloat16)
+
+    from gen_fvgn_tpu.ops.blocksparse import apply_linop
+
+    def two_apply(y):
+        t = apply_linop(ops.nbr_r, y)
+        u = apply_linop(ops.nbr_s, y)
+        return t[..., :h2] + u[..., h2:]
+
+    try:
+        bs.use_pallas_spmm(True)    # interpret-mode kernels on CPU
+        # production forms: per-sample under jax.vmap, and batch-major 3-D
+        # direct (a plain unbatched 2-D call outside vmap has no
+        # reverse-mode — custom_vmap primals don't linearize; the model
+        # never calls it that way)
+        pair_vmapped = lambda a: jnp.sum(
+            jax.vmap(lambda s: bs.apply_node_pair(ops, s))(a)
+            .astype(jnp.float32) ** 2)
+        pair_direct3 = lambda a: jnp.sum(
+            bs.apply_node_pair(ops, a).astype(jnp.float32) ** 2)
+        ref_vmapped = lambda a: jnp.sum(
+            jax.vmap(two_apply)(a).astype(jnp.float32) ** 2)
+        for fp, fr, y in ((pair_vmapped, ref_vmapped, yb),
+                          (pair_direct3, ref_vmapped, yb),
+                          (pair_direct3, ref_vmapped, y1[None])):
+            vp, gp = jax.value_and_grad(fp)(y)
+            vr, gr = jax.value_and_grad(fr)(y)
+            np.testing.assert_allclose(float(vp), float(vr), rtol=2e-2)
+            a = np.asarray(gp, np.float64)
+            b = np.asarray(gr, np.float64)
+            denom = max(np.abs(b).max(), 1e-6)
+            np.testing.assert_allclose(a / denom, b / denom, atol=2e-2)
+    finally:
+        bs.use_pallas_spmm(None)
