@@ -180,14 +180,14 @@ def _make_bwd_kernel(n_parts: int, n_pre: int, res_idx: Optional[int],
             def accum(ref, val):
                 @pl.when(first)
                 def _():
-                    ref[0] = val
+                    ref[0] = val.astype(ref.dtype)
 
                 @pl.when(jnp.logical_not(first))
                 def _():
-                    ref[0] += val
+                    ref[0] += val.astype(ref.dtype)
         else:
             def accum(ref, val):
-                ref[0] = val
+                ref[0] = val.astype(ref.dtype)
 
         accum(adg_ref, jnp.sum(g * xhat, axis=0, keepdims=True))
         accum(adbe_ref, jnp.sum(g, axis=0, keepdims=True))
@@ -292,6 +292,25 @@ def set_partial_group(group: int) -> None:
     _make_fused_fn.cache_clear()
 
 
+# Storage dtype of the per-tile PARTIAL weight-grad blocks the backward
+# kernels write to HBM (the final reduction outside always accumulates in
+# f32 via jnp.sum(..., dtype=f32)). bf16 halves the partial-stream HBM
+# traffic — each tile's f32-accumulated dW block takes ONE extra bf16
+# rounding before the f32 tree-sum, a ~0.4% relative gradient noise on
+# ~300-tile reductions (per-tile roundings are independent), below the
+# bf16 activation-stream noise the step already carries. f32 remains the
+# default for exactness-sensitive paths; perf configs opt in.
+_PARTIAL_DTYPE = jnp.float32
+
+
+def set_partial_dtype(dtype) -> None:
+    """Set the backward kernels' partial weight-grad storage dtype
+    (jnp.float32 default; jnp.bfloat16 halves partial-stream traffic)."""
+    global _PARTIAL_DTYPE
+    _PARTIAL_DTYPE = jnp.dtype(dtype)
+    _make_fused_fn.cache_clear()
+
+
 
 def _mlp_cost(m: int, k_tot: int, h: int, d: int, factor: int,
               stream_bytes: int):
@@ -353,7 +372,7 @@ def _make_fused_fn(res_idx: Optional[int], res_dual: bool):
         d = w3.shape[1]
         tm = _pick_tile_m(m)
         douts = tuple(g) if isinstance(g, tuple) else (g,)
-        f32 = jnp.float32
+        f32 = _PARTIAL_DTYPE
 
         n_tiles = m // tm
         group = max(1, min(_PARTIAL_GROUP, n_tiles))
@@ -362,7 +381,8 @@ def _make_fused_fn(res_idx: Optional[int], res_dual: bool):
         k_tot = sum(p.shape[1] for p in parts) + 128 * n_pre
         stream = 2 * (sum(int(p.size) * p.dtype.itemsize for p in parts)
                       + n_pre * m * h * 2) + (1 + len(douts)) * m * d * 2 \
-            + n_acc * (k_tot * h + h * h + h * d + 5 * d + 2 * h) * 4
+            + n_acc * (k_tot * h + h * h + h * d + 5 * d + 2 * h) \
+            * jnp.dtype(f32).itemsize
         outs = pl.pallas_call(
             _make_bwd_kernel(n_parts, n_pre, res_idx, res_dual, group),
             grid=(m // tm,),
@@ -402,7 +422,8 @@ def _make_fused_fn(res_idx: Optional[int], res_dual: bool):
         grads = outs[n_parts + n_pre:]
         dw1s = grads[:n_parts]
         db1, dw2, db2, dw3, db3, dg, dbe = grads[n_parts:]
-        cast = lambda t, like: t.sum(0).astype(like.dtype)
+        # f32-accumulated tree-sum regardless of the partial storage dtype
+        cast = lambda t, like: t.sum(0, dtype=jnp.float32).astype(like.dtype)
         return (dxs,
                 tuple(cast(p, w) for p, w in zip(dw1s, w1s)),
                 cast(db1, b1), cast(dw2, w2), cast(db2, b2),
@@ -531,18 +552,19 @@ def _premlp_bwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     g = dout_ref[:].astype(jnp.float32)
     g16 = g.astype(dt)
 
-    pdb2_ref[0] = jnp.sum(g, axis=0, keepdims=True)
-    pdw2_ref[0] = jnp.dot(h.astype(dt).T, g16,
-                          preferred_element_type=jnp.float32)
+    acc = lambda ref, val: ref.__setitem__(0, val.astype(ref.dtype))
+    acc(pdb2_ref, jnp.sum(g, axis=0, keepdims=True))
+    acc(pdw2_ref, jnp.dot(h.astype(dt).T, g16,
+                          preferred_element_type=jnp.float32))
     dh = jnp.dot(g16, w2_ref[:].T, preferred_element_type=jnp.float32)
     dh1pre = dh * _gelu_tanh_grad(h1pre)
     dh1pre16 = dh1pre.astype(dt)
-    pdb1_ref[0] = jnp.sum(dh1pre, axis=0, keepdims=True)
-    pdw1_ref[0] = jnp.dot(u16.T, dh1pre16,
-                          preferred_element_type=jnp.float32)
+    acc(pdb1_ref, jnp.sum(dh1pre, axis=0, keepdims=True))
+    acc(pdw1_ref, jnp.dot(u16.T, dh1pre16,
+                          preferred_element_type=jnp.float32))
     du = jnp.dot(dh1pre16, w1_ref[:].T, preferred_element_type=jnp.float32)
-    pdg_ref[0] = jnp.sum(du * xhat, axis=0, keepdims=True)
-    pdbe_ref[0] = jnp.sum(du, axis=0, keepdims=True)
+    acc(pdg_ref, jnp.sum(du * xhat, axis=0, keepdims=True))
+    acc(pdbe_ref, jnp.sum(du, axis=0, keepdims=True))
     dxhat = du * g_ref[:].astype(jnp.float32)
     m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
     m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
@@ -582,14 +604,15 @@ def _premlp_bwd(res, g):
     hdim = w1.shape[1]
     tm = _pick_tile_m(m)
     n_tiles = m // tm
-    f32 = jnp.float32
+    f32 = _PARTIAL_DTYPE
 
     outs = pl.pallas_call(
         _premlp_bwd_kernel,
         grid=(n_tiles,),
         cost_estimate=_mlp_cost(
             m, c, hdim, c, 3,
-            3 * m * c * 2 + n_tiles * (2 * c * hdim + 3 * c + hdim) * 4),
+            3 * m * c * 2 + n_tiles * (2 * c * hdim + 3 * c + hdim)
+            * jnp.dtype(f32).itemsize),
         in_specs=[_tile_spec(c, tm), _const_spec((1, c)), _const_spec((1, c)),
                   _const_spec((c, hdim)), _const_spec((1, hdim)),
                   _const_spec((hdim, c)), _const_spec((1, c)),
@@ -606,7 +629,7 @@ def _premlp_bwd(res, g):
         interpret=_interpret(),
     )(x, gamma, beta, w1, b1, w2, b2, g)
     dx, pdg, pdbe, pdw1, pdb1, pdw2, pdb2 = outs
-    cast = lambda t, like: t.sum(0).astype(like.dtype)
+    cast = lambda t, like: t.sum(0, dtype=jnp.float32).astype(like.dtype)
     return (dx, cast(pdg, gamma), cast(pdbe, beta), cast(pdw1, w1),
             cast(pdb1, b1), cast(pdw2, w2), cast(pdb2, b2))
 
@@ -644,21 +667,22 @@ def _noln_bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
         w3_ref[:], b3_ref[:].astype(jnp.float32))
     dy = dout_ref[:].astype(jnp.float32)
     dy16 = dy.astype(dt)
-    adw3_ref[0] = jnp.dot(h2.astype(dt).T, dy16,
-                          preferred_element_type=jnp.float32)
-    adb3_ref[0] = jnp.sum(dy, axis=0, keepdims=True)
+    acc = lambda ref, val: ref.__setitem__(0, val.astype(ref.dtype))
+    acc(adw3_ref, jnp.dot(h2.astype(dt).T, dy16,
+                          preferred_element_type=jnp.float32))
+    acc(adb3_ref, jnp.sum(dy, axis=0, keepdims=True))
     dh2 = jnp.dot(dy16, w3_ref[:].T, preferred_element_type=jnp.float32)
     dh2pre = dh2 * _gelu_tanh_grad(h2pre)
     dh2pre16 = dh2pre.astype(dt)
-    adw2_ref[0] = jnp.dot(h1.astype(dt).T, dh2pre16,
-                          preferred_element_type=jnp.float32)
-    adb2_ref[0] = jnp.sum(dh2pre, axis=0, keepdims=True)
+    acc(adw2_ref, jnp.dot(h1.astype(dt).T, dh2pre16,
+                          preferred_element_type=jnp.float32))
+    acc(adb2_ref, jnp.sum(dh2pre, axis=0, keepdims=True))
     dh1 = jnp.dot(dh2pre16, w2_ref[:].T, preferred_element_type=jnp.float32)
     dh1pre = dh1 * _gelu_tanh_grad(h1pre)
     dh1pre16 = dh1pre.astype(dt)
-    adw1_ref[0] = jnp.dot(x.T, dh1pre16,
-                          preferred_element_type=jnp.float32)
-    adb1_ref[0] = jnp.sum(dh1pre, axis=0, keepdims=True)
+    acc(adw1_ref, jnp.dot(x.T, dh1pre16,
+                          preferred_element_type=jnp.float32))
+    acc(adb1_ref, jnp.sum(dh1pre, axis=0, keepdims=True))
     dx_ref[:] = jnp.dot(dh1pre16, w1_ref[:].T,
                         preferred_element_type=jnp.float32).astype(dx_ref.dtype)
 
@@ -697,14 +721,15 @@ def _noln_bwd(res, g):
     d = w3.shape[1]
     tm = _pick_tile_m(m)
     n_tiles = m // tm
-    f32 = jnp.float32
+    f32 = _PARTIAL_DTYPE
 
     outs = pl.pallas_call(
         _noln_bwd_kernel,
         grid=(n_tiles,),
         cost_estimate=_mlp_cost(
             m, k, h, d, 3,
-            2 * m * (k + d) * 2 + n_tiles * (k * h + h * h + h * d) * 4),
+            2 * m * (k + d) * 2 + n_tiles * (k * h + h * h + h * d)
+            * jnp.dtype(f32).itemsize),
         in_specs=[_tile_spec(k, tm), _const_spec((k, h)), _const_spec((1, h)),
                   _const_spec((h, h)), _const_spec((1, h)),
                   _const_spec((h, d)), _const_spec((1, d)),
@@ -721,7 +746,7 @@ def _noln_bwd(res, g):
         interpret=_interpret(),
     )(x, w1, b1, w2, b2, w3, b3, g)
     dx, pdw1, pdb1, pdw2, pdb2, pdw3, pdb3 = outs
-    cast = lambda t, like: t.sum(0).astype(like.dtype)
+    cast = lambda t, like: t.sum(0, dtype=jnp.float32).astype(like.dtype)
     return (dx, cast(pdw1, w1), cast(pdb1, b1), cast(pdw2, w2),
             cast(pdb2, b2), cast(pdw3, w3), cast(pdb3, b3))
 
