@@ -52,6 +52,13 @@ class BlockOp:
     padded rows."""
     blocks: jnp.ndarray    # [nTo, K, To, Ti] f32
     in_tile: jnp.ndarray   # [nTo, K] i32 — operand tile per slot (0-padded)
+    # int8 copy of `blocks` for STRUCTURAL operators (every entry an
+    # integer in [-127, 127]: one-hot gathers, 0/1 adjacency, ±1 signed
+    # diffs, small path counts) — the Pallas streaming kernels read this
+    # instead of the bf16 panels when use_int8_panels is on, halving the
+    # panel HBM bytes; the in-kernel int8→bf16 convert rides the VPU,
+    # overlapped behind the kernel's DMA. Values are exact by construction.
+    blocks_i8: Optional[jnp.ndarray] = None
     take_idx: Optional[jnp.ndarray] = None   # [n_out] i32 row-gather indices
     ell_idx: Optional[jnp.ndarray] = None    # [n_out, k] i32 (pad: 0)
     ell_vals: Optional[jnp.ndarray] = None   # [n_out, k] f32 (pad: 0.0)
@@ -155,6 +162,18 @@ def build_block_op(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
         blocks[i, slot[i]] = dense[b].astype(np_dtype)
         in_tile[i, slot[i]] = uc[b]
         slot[i] += 1
+    # int8 twin for structural bf16 (model-path) operators — exact when
+    # every entry is an integer in [-127, 127] (checked on the f64 source)
+    blocks_i8 = None
+    if dtype != np.float32 and dense.size \
+            and np.all(dense == np.round(dense)) \
+            and np.abs(dense).max() <= 127:
+        blocks_i8 = np.zeros((n_to, k, tile_out, tile_in), np.int8)
+        slot8 = np.zeros(n_to, np.int64)
+        for b in range(n_blocks):
+            i = ub[b]
+            blocks_i8[i, slot8[i]] = dense[b].astype(np.int8)
+            slot8[i] += 1
     ti = None if take_idx is None else jnp.asarray(
         np.asarray(take_idx, np.int32))
     ell = (None if ell_max_k is None
@@ -164,6 +183,8 @@ def build_block_op(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
         from gen_fvgn_tpu.ops.pallas_spmm import build_window_meta
         win = build_window_meta(blocks, in_tile, s_tiles=window_s)
     return BlockOp(blocks=jnp.asarray(blocks), in_tile=jnp.asarray(in_tile),
+                   blocks_i8=None if blocks_i8 is None
+                   else jnp.asarray(blocks_i8),
                    take_idx=ti,
                    ell_idx=None if ell is None else jnp.asarray(ell[0]),
                    ell_vals=None if ell is None else jnp.asarray(ell[1]),
@@ -277,6 +298,34 @@ def _sp_spmm(blocks, in_tile, x, out_dtype, interpret: bool):
                        in_specs=(P("sp"), P("sp"), P(dp_ax, None, None)),
                        out_specs=P(dp_ax, "sp", None))
     return fn(blocks, in_tile, x)
+
+
+# Read the int8 twin of structural operator panels inside the Pallas
+# kernels (halves panel HBM bytes; in-kernel int8→bf16 convert rides the
+# otherwise-idle VPU). None = auto: follows _pallas_enabled(). Measured
+# −1.0 ms/step on the bench case with BIT-EXACT loss (scripts/
+# int8_panel_ab.py: int8 30.33 vs base 31.31/31.51 ms, identical loss —
+# the int8 values are exact by construction and the kernels' f32
+# accumulation is unchanged).
+_INT8_PANELS = None
+
+
+def use_int8_panels(enabled=True) -> None:
+    """enabled: True/False, or None to follow the Pallas auto-gate."""
+    global _INT8_PANELS
+    _INT8_PANELS = enabled
+
+
+def _int8_on() -> bool:
+    return _pallas_enabled() if _INT8_PANELS is None else bool(_INT8_PANELS)
+
+
+def _panel(op: "BlockOp") -> jnp.ndarray:
+    """The blocks array a Pallas kernel should stream: the int8 twin when
+    present and enabled, else the stored (bf16/f32) panels."""
+    if op.blocks_i8 is not None and _int8_on():
+        return op.blocks_i8
+    return op.blocks
 
 
 # Route take-indexed (one-hot row-gather) FORWARDS through the windowed
@@ -453,14 +502,14 @@ def _apply_block_op(op: BlockOp, x: jnp.ndarray) -> jnp.ndarray:
                 # (window metadata replicates under sp, so the windowed
                 # form doesn't shard; ops whose out-tile dim doesn't
                 # divide sp fall through to the GSPMD-partitioned einsum)
-                return _sp_spmm(op.blocks, op.in_tile, xin,
+                return _sp_spmm(_panel(op), op.in_tile, xin,
                                 _out_dtype(op, x), interp)
             if _PALLAS_MODE == "window" and op.win_start is not None:
                 return pallas_block_spmm_window(
-                    op.blocks, op.win_start, op.win_local, xin,
+                    _panel(op), op.win_start, op.win_local, xin,
                     w_tiles=op.win_w, s_tiles=op.win_s, n_to_pad=op.win_pad,
                     out_dtype=_out_dtype(op, x), interpret=interp)
-            return pallas_block_spmm_binner(op.blocks, op.in_tile, xin,
+            return pallas_block_spmm_binner(_panel(op), op.in_tile, xin,
                                             out_dtype=_out_dtype(op, x),
                                             interpret=interp)
         n_ti = n_in // op.tile_in
@@ -493,13 +542,13 @@ def _apply_block_op(op: BlockOp, x: jnp.ndarray) -> jnp.ndarray:
         dt_name = jnp.dtype(_out_dtype(op, x)).name
         if _SP_MESH is not None:
             fn = _make_spmm_vmappable_sp(dt_name, interp)
-            return fn(op.blocks, op.in_tile, xin)
+            return fn(_panel(op), op.in_tile, xin)
         if _PALLAS_MODE == "window" and op.win_start is not None:
             fn = _make_spmm_vmappable_window(dt_name, interp, op.win_w,
                                              op.win_s, op.win_pad)
-            return fn(op.blocks, op.win_start, op.win_local, xin)
+            return fn(_panel(op), op.win_start, op.win_local, xin)
         fn = _make_spmm_vmappable(dt_name, interp)
-        return fn(op.blocks, op.in_tile, xin)
+        return fn(_panel(op), op.in_tile, xin)
     n_ti = x.shape[0] // op.tile_in
     xt = x.reshape(n_ti, op.tile_in, -1)
     if op.blocks.dtype == jnp.bfloat16:
@@ -663,7 +712,7 @@ def apply_gather_pair(ops, y: jnp.ndarray) -> jnp.ndarray:
     fn = _make_gather_pair_fn(
         jnp.dtype(y.dtype).name, jax.default_backend() != "tpu",
         ops.gpair_w, ops.gpair_s, ops.gpair_pad)
-    return fn(ops.gather_s.fwd.blocks, ops.gather_r.fwd.blocks,
+    return fn(_panel(ops.gather_s.fwd), _panel(ops.gather_r.fwd),
               ops.gpair_start, ops.gpair_ls, ops.gpair_lr,
               ops.gather_s.bwd, ops.gather_r.bwd, y)
 
@@ -699,7 +748,7 @@ def _make_pair_sum_fn(out_dtype_name: str, interpret: bool,
 
     def _bwd(res, g):
         tba, tbb, tws, tla, tlb = res
-        if tba.dtype == _jnp.bfloat16:
+        if tba.dtype in (_jnp.bfloat16, _jnp.int8):
             g = g.astype(_jnp.bfloat16)
         dy = pallas_pair_transpose(tba, tbb, tws, tla, tlb, g,
                                    w_tiles=tw, s_tiles=ts, n_to_pad=tpad,
@@ -774,7 +823,7 @@ def apply_node_pair(ops, y: jnp.ndarray) -> jnp.ndarray:
         ops.npair_w, ops.npair_s, ops.npair_pad,
         ops.npairt_w, ops.npairt_s, ops.npairt_pad)
     call = fn_b if xin.ndim == 3 else fn
-    return call(ops.nbr_r.fwd.blocks, ops.nbr_s.fwd.blocks,
+    return call(_panel(ops.nbr_r.fwd), _panel(ops.nbr_s.fwd),
                 ops.npair_start, ops.npair_la, ops.npair_lb,
-                ops.nbr_r.bwd.blocks, ops.nbr_s.bwd.blocks,
+                _panel(ops.nbr_r.bwd), _panel(ops.nbr_s.bwd),
                 ops.npairt_start, ops.npairt_la, ops.npairt_lb, xin)

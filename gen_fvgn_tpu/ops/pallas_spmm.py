@@ -34,6 +34,12 @@ def _cost(n_row_tiles: int, n_k: int, t_out: int, t_in: int, f: int,
     )
 
 
+def _mxu(panel, like):
+    """Panel tile for the MXU dot: int8-stored structural panels convert to
+    the operand dtype on the VPU (overlapped behind the kernel's DMA)."""
+    return panel.astype(like.dtype) if panel.dtype == jnp.int8 else panel
+
+
 def _spmm_kernel(in_tile_ref, blocks_ref, x_ref, out_ref):
     k = pl.program_id(1)
 
@@ -42,7 +48,7 @@ def _spmm_kernel(in_tile_ref, blocks_ref, x_ref, out_ref):
         out_ref[...] = jnp.zeros_like(out_ref)
 
     out_ref[...] += jax.lax.dot_general(
-        blocks_ref[0, 0], x_ref[0],
+        _mxu(blocks_ref[0, 0], x_ref), x_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
@@ -55,7 +61,7 @@ def _spmm_batched_kernel(in_tile_ref, blocks_ref, x_ref, out_ref):
         out_ref[...] = jnp.zeros_like(out_ref)
 
     out_ref[...] += jax.lax.dot_general(
-        blocks_ref[0, 0], x_ref[0],
+        _mxu(blocks_ref[0, 0], x_ref), x_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
@@ -198,7 +204,7 @@ def pallas_block_spmm_window(blocks: jnp.ndarray, win_start: jnp.ndarray,
                 idx = li_ref[i_s * s_tiles + t, j]
                 xt_tile = x_ref[pl.dslice(idx * t_in, t_in), :]
                 p = jax.lax.dot_general(
-                    blocks_ref[0, t, j], xt_tile,
+                    _mxu(blocks_ref[0, t, j], xt_tile), xt_tile,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 acc = p if acc is None else acc + p
@@ -238,12 +244,12 @@ def _make_spmm_binner_kernel(n_k: int):
         x_refs = rest[:n_k]
         out_ref = rest[n_k]
         acc = jax.lax.dot_general(
-            blocks_ref[0, 0], x_refs[0][0],
+            _mxu(blocks_ref[0, 0], x_refs[0]), x_refs[0][0],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         for j in range(1, n_k):
             acc += jax.lax.dot_general(
-                blocks_ref[0, j], x_refs[j][0],
+                _mxu(blocks_ref[0, j], x_refs[j]), x_refs[j][0],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         out_ref[0] = acc.astype(out_ref.dtype)
@@ -445,7 +451,7 @@ def pallas_gather_pair(blocks_s: jnp.ndarray, blocks_r: jnp.ndarray,
                 idx = ls_ref[i_s * s_tiles + t, j]
                 ytile = y_ref[pl.dslice(idx * t_in, t_in), :h]
                 p = jax.lax.dot_general(
-                    ps_ref[0, t, j], ytile,
+                    _mxu(ps_ref[0, t, j], ytile), ytile,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 acc = p if acc is None else acc + p
@@ -453,7 +459,7 @@ def pallas_gather_pair(blocks_s: jnp.ndarray, blocks_r: jnp.ndarray,
                 idx = lr_ref[i_s * s_tiles + t, j]
                 ytile = y_ref[pl.dslice(idx * t_in, t_in), h:]
                 acc = acc + jax.lax.dot_general(
-                    pr_ref[0, t, j], ytile,
+                    _mxu(pr_ref[0, t, j], ytile), ytile,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
             out_ref[0, t * t_out:(t + 1) * t_out, :] = acc.astype(
@@ -533,7 +539,7 @@ def pallas_pair_transpose(blocks_a: jnp.ndarray, blocks_b: jnp.ndarray,
                 idx = la_ref[i_s * s_tiles + t, j]
                 gt = g_ref[pl.dslice(idx * t_in, t_in), :]
                 p = jax.lax.dot_general(
-                    pa_ref[0, t, j], gt,
+                    _mxu(pa_ref[0, t, j], gt), gt,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 acc_a = p if acc_a is None else acc_a + p
@@ -542,7 +548,7 @@ def pallas_pair_transpose(blocks_a: jnp.ndarray, blocks_b: jnp.ndarray,
                 idx = lb_ref[i_s * s_tiles + t, j]
                 gt = g_ref[pl.dslice(idx * t_in, t_in), :]
                 p = jax.lax.dot_general(
-                    pb_ref[0, t, j], gt,
+                    _mxu(pb_ref[0, t, j], gt), gt,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 acc_b = p if acc_b is None else acc_b + p

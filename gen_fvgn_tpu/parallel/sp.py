@@ -132,6 +132,7 @@ def _shard_block_op(op: BlockOp, mesh: Mesh) -> BlockOp:
     form's super-tile metadata doesn't shard evenly)."""
     return op.replace(
         blocks=_put(mesh, op.blocks, P("sp")),
+        blocks_i8=_put(mesh, op.blocks_i8, P("sp")),
         in_tile=_put(mesh, op.in_tile, P("sp")),
         take_idx=_put(mesh, op.take_idx, P("sp")),
         ell_idx=_put(mesh, op.ell_idx, P("sp")),

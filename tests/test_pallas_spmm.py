@@ -215,3 +215,58 @@ def test_apply_node_pair_matches_two_apply():
             np.testing.assert_allclose(a / denom, b / denom, atol=2e-2)
     finally:
         bs.use_pallas_spmm(None)
+
+
+def test_int8_panels_bitexact():
+    """use_int8_panels: the int8 twin of structural bf16 panels exists on
+    the model-path operators, and the Pallas applies (window + binner,
+    value AND gradient, vmapped) are BIT-EXACT vs the bf16 panels — int8
+    stores the same integer values and the kernels' f32 accumulation is
+    unchanged. (scripts/int8_panel_ab.py measured -1.0 ms/step on TPU.)"""
+    from gen_fvgn_tpu.config import Config
+    from gen_fvgn_tpu.meshes.geometry import compile_mesh
+    from gen_fvgn_tpu.meshes.synthetic import cavity_quad_mesh, synthetic_case
+    from gen_fvgn_tpu.graph.operators import rcm_reorder
+    from gen_fvgn_tpu.training.pool import EnvPool
+    from gen_fvgn_tpu.ops import blocksparse as bs
+
+    cfg = Config(batch_size=2, dataset_size=2, mxu_dtype="bfloat16",
+                 hidden_size=128, message_passing_num=1, slice_num=8,
+                 attn_heads=4)
+    mesh = compile_mesh(rcm_reorder(dict(cavity_quad_mesh(7))))
+    case = synthetic_case(mesh, continuity=1, convection=1, grad_p=1,
+                          mu=0.05, sigma=(1, 1, 1))
+    pool = EnvPool([], cfg, seed=0, pad_multiple=256, cases=[case],
+                   engine="block")
+    ops = pool.statics[0].ops
+    # structural model-path ops carry the int8 twin; f32 FV/WLSQ ops don't
+    for op in (ops.adj, ops.gather_s, ops.gather_r, ops.scat_r, ops.scat_s):
+        assert op.fwd.blocks_i8 is not None
+        assert op.bwd.blocks_i8 is not None
+        np.testing.assert_array_equal(
+            np.asarray(op.fwd.blocks_i8, np.float32),
+            np.asarray(op.fwd.blocks, np.float32))
+    assert ops.wlsq.fwd.blocks_i8 is None
+
+    n_pad = ops.adj.fwd.n_out
+    rng = np.random.default_rng(3)
+    xb = jnp.asarray(rng.normal(size=(2, n_pad, 128)), jnp.bfloat16)
+
+    def loss(op, x):
+        return jnp.sum(jax.vmap(
+            lambda s: bs.apply_linop(op, s))(x).astype(jnp.float32) ** 2)
+
+    try:
+        bs.use_pallas_spmm(True)            # interpret-mode kernels on CPU
+        for op in (ops.adj, ops.scat_s):
+            vals = {}
+            for on in (False, True):
+                bs.use_int8_panels(on)
+                v, g = jax.value_and_grad(
+                    lambda x, op=op: loss(op, x))(xb)
+                vals[on] = (float(v), np.asarray(g, np.float32))
+            assert vals[False][0] == vals[True][0]
+            np.testing.assert_array_equal(vals[False][1], vals[True][1])
+    finally:
+        bs.use_pallas_spmm(None)
+        bs.use_int8_panels(None)
