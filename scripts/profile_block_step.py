@@ -2,7 +2,11 @@
 
 Captures a jax.profiler trace of a few steps, parses the Chrome-format
 trace, and prints the TPU-op time histogram grouped by op-name family —
-the aiming tool for single-chip perf work."""
+the aiming tool for single-chip perf work.
+
+--json PATH additionally writes the rollup (device step time, summed
+op time, per-family ms/step + counts, and the dispatch/idle gap) as one
+JSON document — the committed form of the per-kernel floor analysis."""
 
 import glob
 import gzip
@@ -79,8 +83,9 @@ def main():
     steps = [e["dur"] for e in events
              if e.get("ph") == "X" and "dur" in e
              and (e.get("pid"), e.get("tid")) in step_tids]
+    step_ms = float(np.mean(steps)) / 1e3 if steps else None
     if steps:
-        print(f"device step time: {np.mean(steps) / 1e3:.2f} ms/step "
+        print(f"device step time: {step_ms:.2f} ms/step "
               f"(n={len(steps)}, min {min(steps) / 1e3:.2f}, "
               f"max {max(steps) / 1e3:.2f})")
 
@@ -118,6 +123,30 @@ def main():
     for fam, dur in sorted(fam_agg.items(), key=lambda kv: -kv[1])[:30]:
         print(f"  {dur / 5e3:8.3f} ms/step x{fam_cnt[fam] // 5:3d} "
               f"{100 * dur / total:5.1f}%  {fam}")
+
+    json_path = None
+    for i, a in enumerate(sys.argv):
+        if a == "--json" and i + 1 < len(sys.argv):
+            json_path = sys.argv[i + 1]
+    if json_path:
+        doc = {
+            "workload": "cavity b8, block engine, bf16, tile 256, donate",
+            "device_ms_per_step": round(step_ms, 3) if step_ms else None,
+            "summed_op_ms_per_step": round(total / 5e3, 3),
+            # step-time minus summed op-time = inter-kernel dispatch/idle
+            # gap (the serialized-chain overhead the op histogram hides)
+            "gap_ms_per_step": (round(step_ms - total / 5e3, 3)
+                                if step_ms else None),
+            "families": [
+                {"family": fam, "ms_per_step": round(dur / 5e3, 3),
+                 "calls_per_step": fam_cnt[fam] // 5,
+                 "share_pct": round(100 * dur / total, 1)}
+                for fam, dur in sorted(fam_agg.items(),
+                                       key=lambda kv: -kv[1])[:30]],
+        }
+        with open(json_path, "w") as fh:
+            json.dump(doc, fh, indent=1)
+        print(f"\nwrote {json_path}")
 
 
 if __name__ == "__main__":
