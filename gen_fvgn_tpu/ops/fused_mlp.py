@@ -232,6 +232,36 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _sp_row_mesh(rows: int):
+    """(mesh, axes) to row-shard a fused kernel over, or (None, None).
+
+    With an sp mesh set (blocksparse.set_sp_mesh, entered via
+    parallel/sp.sp_kernel_context) a fused kernel cannot run as a plain
+    single-device pallas_call inside the GSPMD-partitioned step; the
+    row-elementwise fused-MLP forms instead run shard_map'd over the mesh,
+    each device computing its own row shard against replicated weights —
+    the same recipe as blocksparse._sp_spmm. Rows shard over ALL mesh axes
+    when divisible (dp outer x sp inner matches the [B, M] -> [B*M] flatten
+    layout of the batched calls: batch rows over dp, entity rows over sp),
+    else over sp alone (the B=1 solve/eval paths); axes == () means an sp
+    mesh is set but `rows` cannot shard to a 128-multiple per device —
+    callers raise (the pool's tile*sp padding guarantees divisibility on
+    every training path)."""
+    from gen_fvgn_tpu.ops import blocksparse as bs
+    mesh = bs._SP_MESH
+    if mesh is None:
+        return None, None
+    n_all = 1
+    for v in mesh.shape.values():
+        n_all *= v
+    if rows % (n_all * 128) == 0:
+        return mesh, tuple(mesh.axis_names)
+    n_sp = mesh.shape.get("sp", 1)
+    if rows % (n_sp * 128) == 0:
+        return mesh, ("sp",)
+    return mesh, ()
+
+
 def _const_spec(shape):
     nd = len(shape)
     return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
@@ -327,20 +357,28 @@ def _mlp_cost(m: int, k_tot: int, h: int, d: int, factor: int,
 
 @functools.lru_cache(maxsize=None)
 def _make_fused_fn(res_idx: Optional[int], res_dual: bool):
-    """custom_vjp instance per residual configuration (static)."""
+    """custom_vjp instance per residual configuration (static).
 
-    @jax.custom_vjp
-    def fused(parts, w1s, b1, w2, b2, w3, b3, gamma, beta, pres):
-        out, _ = fwd(parts, w1s, b1, w2, b2, w3, b3, gamma, beta, pres)
-        return out
+    Structure (inner to outer): raw pallas calls (fwd_call/bwd_call, rank-2
+    rows) -> sp dispatch (shard_map over the row dim when an sp mesh is
+    set) -> custom_vmap wrappers (the batched model path flattens [B, M]
+    into rows — the kernel is row-elementwise, so the flatten is exact and
+    lets ONE shard_map cover the batch; without sp it reproduces the plain
+    pallas batching rule via jax.vmap) -> the custom_vjp. The vjp stays
+    OUTERMOST: reverse-mode never linearizes through custom_vmap
+    (unsupported); vmap of the vjp rules hits the raw wrappers instead —
+    same layering as ops/fused_slice_attn.py."""
+    import jax.custom_batching as _cb
+    from jax.sharding import PartitionSpec as _P
 
-    def fwd(parts, w1s, b1, w2, b2, w3, b3, gamma, beta, pres):
+    n_out = 2 if (res_idx is not None and res_dual) else 1
+
+    def fwd_call(parts, w1s, pres, b1, w2, b2, w3, b3, gamma, beta):
         n_parts, n_pre = len(parts), len(pres)
         m = (parts[0] if parts else pres[0]).shape[0]
         h = w2.shape[0]
         d = w3.shape[1]
         tm = _pick_tile_m(m)
-        n_out = 2 if (res_idx is not None and res_dual) else 1
         k_tot = sum(p.shape[1] for p in parts) + 128 * n_pre
         stream = sum(int(p.size) * p.dtype.itemsize for p in parts) \
             + n_pre * m * h * 2 + n_out * m * d * 2
@@ -361,17 +399,14 @@ def _make_fused_fn(res_idx: Optional[int], res_dual: bool):
                 (m, d), (parts[0] if parts else pres[0]).dtype)] * n_out,
             interpret=_interpret(),
         )(*parts, *w1s, *pres, b1, w2, b2, w3, b3, gamma, beta)
-        res = (parts, w1s, b1, w2, b2, w3, b3, gamma, pres)
-        return (tuple(out) if n_out == 2 else out[0]), res
+        return tuple(out)
 
-    def bwd(res, g):
-        parts, w1s, b1, w2, b2, w3, b3, gamma, pres = res
+    def bwd_call(parts, w1s, pres, b1, w2, b2, w3, b3, gamma, douts):
         n_parts, n_pre = len(parts), len(pres)
         m = (parts[0] if parts else pres[0]).shape[0]
         h = w2.shape[0]
         d = w3.shape[1]
         tm = _pick_tile_m(m)
-        douts = tuple(g) if isinstance(g, tuple) else (g,)
         f32 = _PARTIAL_DTYPE
 
         n_tiles = m // tm
@@ -417,12 +452,134 @@ def _make_fused_fn(res_idx: Optional[int], res_dual: bool):
                    jax.ShapeDtypeStruct((n_acc, 1, d), f32)]),
             interpret=_interpret(),
         )(*parts, *w1s, *pres, b1, w2, b2, w3, b3, gamma, *douts)
+        return tuple(outs)
+
+    def _check_sp(mesh, axes, rows):
+        if not axes:
+            raise NotImplementedError(
+                f"fused MLP under sp: rows={rows} does not shard over mesh "
+                f"{dict(mesh.shape)} (pad entities to tile*sp rows)")
+
+    def _fwd_dispatch(parts, w1s, pres, b1, w2, b2, w3, b3, gamma, beta):
+        rows = (parts[0] if parts else pres[0]).shape[0]
+        mesh, axes = _sp_row_mesh(rows)
+        if mesh is None:
+            return fwd_call(parts, w1s, pres, b1, w2, b2, w3, b3, gamma,
+                            beta)
+        _check_sp(mesh, axes, rows)
+        row, con = _P(axes, None), _P(None, None)
+        fn = jax.shard_map(
+            fwd_call, mesh=mesh, check_vma=False,
+            in_specs=(tuple(row for _ in parts), tuple(con for _ in w1s),
+                      tuple(row for _ in pres), con, con, con, con, con,
+                      con, con),
+            out_specs=tuple(row for _ in range(n_out)))
+        return fn(parts, w1s, pres, b1, w2, b2, w3, b3, gamma, beta)
+
+    def _bwd_dispatch(parts, w1s, pres, b1, w2, b2, w3, b3, gamma, douts):
+        rows = (parts[0] if parts else pres[0]).shape[0]
+        mesh, axes = _sp_row_mesh(rows)
+        if mesh is None:
+            return bwd_call(parts, w1s, pres, b1, w2, b2, w3, b3, gamma,
+                            douts)
+        _check_sp(mesh, axes, rows)
+        row, con = _P(axes, None), _P(None, None)
+        # partial weight-grad stacks concatenate over shards on dim 0; the
+        # f32 tree-sum outside reduces across devices and tiles in one go
+        acc = _P(axes, None, None)
+        n_parts, n_pre = len(parts), len(pres)
+        fn = jax.shard_map(
+            bwd_call, mesh=mesh, check_vma=False,
+            in_specs=(tuple(row for _ in parts), tuple(con for _ in w1s),
+                      tuple(row for _ in pres), con, con, con, con, con,
+                      con, tuple(row for _ in douts)),
+            out_specs=(tuple(row for _ in range(n_parts + n_pre))
+                       + tuple(acc for _ in range(n_parts + 7))))
+        return fn(parts, w1s, pres, b1, w2, b2, w3, b3, gamma, douts)
+
+    _leaves = jax.tree_util.tree_leaves
+
+    @_cb.custom_vmap
+    def raw_fwd(parts, w1s, pres, b1, w2, b2, w3, b3, gamma, beta):
+        return _fwd_dispatch(parts, w1s, pres, b1, w2, b2, w3, b3, gamma,
+                             beta)
+
+    @raw_fwd.def_vmap
+    def _fwd_rule(axis_size, in_batched, parts, w1s, pres, *consts):
+        if any(_leaves(in_batched[1])) or any(_leaves(in_batched[3:])) \
+                or not all(_leaves(in_batched[0]) + _leaves(in_batched[2])):
+            raise NotImplementedError(
+                "fused MLP vmap expects batched row streams, shared weights")
+        from gen_fvgn_tpu.ops import blocksparse as _bs
+        if _bs._SP_MESH is None:
+            outs = jax.vmap(
+                lambda ps, qs: fwd_call(ps, w1s, qs, *consts))(parts, pres)
+            return outs, (True,) * n_out
+        flat = lambda a: a.reshape(-1, a.shape[-1])
+        outs = _fwd_dispatch(tuple(map(flat, parts)), w1s,
+                             tuple(map(flat, pres)), *consts)
+        outs = tuple(o.reshape(axis_size, -1, o.shape[-1]) for o in outs)
+        return outs, (True,) * n_out
+
+    @_cb.custom_vmap
+    def raw_bwd(parts, w1s, pres, b1, w2, b2, w3, b3, gamma, douts):
+        return _bwd_dispatch(parts, w1s, pres, b1, w2, b2, w3, b3, gamma,
+                             douts)
+
+    @raw_bwd.def_vmap
+    def _bwd_rule(axis_size, in_batched, parts, w1s, pres, *rest):
+        consts, douts = rest[:6], rest[6]
+        if any(_leaves(in_batched[1])) or any(_leaves(in_batched[3:9])) \
+                or not all(_leaves(in_batched[0]) + _leaves(in_batched[2])
+                           + _leaves(in_batched[9])):
+            raise NotImplementedError(
+                "fused MLP bwd vmap expects batched rows/cotangents, "
+                "shared weights")
+        n_parts, n_pre = len(parts), len(pres)
+        from gen_fvgn_tpu.ops import blocksparse as _bs
+        if _bs._SP_MESH is None:
+            outs = jax.vmap(
+                lambda ps, qs, gs: bwd_call(ps, w1s, qs, *consts, gs))(
+                    parts, pres, douts)
+            return outs, (True,) * len(outs)
+        flat = lambda a: a.reshape(-1, a.shape[-1])
+        outs = _bwd_dispatch(tuple(map(flat, parts)), w1s,
+                             tuple(map(flat, pres)), *consts,
+                             tuple(map(flat, douts)))
+        # dxs/dpres return batched; the partial weight-grad stacks already
+        # cover every lane's rows, so they return UNBATCHED (pre-summed) —
+        # vmap's broadcast-transpose passes pre-summed cotangents for
+        # unmapped primals through unscaled (pinned by
+        # tests/test_sp_fused.py::test_unbatched_cotangent_convention)
+        n_row = n_parts + n_pre
+        outs = (tuple(o.reshape(axis_size, -1, o.shape[-1])
+                      for o in outs[:n_row]) + tuple(outs[n_row:]))
+        return outs, (True,) * n_row + (False,) * (n_parts + 7)
+
+    @jax.custom_vjp
+    def fused(parts, w1s, b1, w2, b2, w3, b3, gamma, beta, pres):
+        out, _ = fwd(parts, w1s, b1, w2, b2, w3, b3, gamma, beta, pres)
+        return out
+
+    def fwd(parts, w1s, b1, w2, b2, w3, b3, gamma, beta, pres):
+        out = raw_fwd(parts, w1s, pres, b1, w2, b2, w3, b3, gamma, beta)
+        res = (parts, w1s, b1, w2, b2, w3, b3, gamma, pres)
+        return (tuple(out) if n_out == 2 else out[0]), res
+
+    def bwd(res, g):
+        parts, w1s, b1, w2, b2, w3, b3, gamma, pres = res
+        n_parts, n_pre = len(parts), len(pres)
+        douts = tuple(g) if isinstance(g, tuple) else (g,)
+        outs = raw_bwd(parts, w1s, pres, b1, w2, b2, w3, b3, gamma, douts)
         dxs = tuple(outs[:n_parts])
         dpres = tuple(outs[n_parts:n_parts + n_pre])
         grads = outs[n_parts + n_pre:]
         dw1s = grads[:n_parts]
         db1, dw2, db2, dw3, db3, dg, dbe = grads[n_parts:]
-        # f32-accumulated tree-sum regardless of the partial storage dtype
+        # f32-accumulated tree-sum regardless of the partial storage dtype;
+        # under vmap the stacks are per-lane [B, nAcc, ...] and the sum maps
+        # per lane (broadcast-transpose then reduces over B); under sp the
+        # stacks concatenate every device's tiles on dim 0
         cast = lambda t, like: t.sum(0, dtype=jnp.float32).astype(like.dtype)
         return (dxs,
                 tuple(cast(p, w) for p, w in zip(dw1s, w1s)),
@@ -572,19 +729,11 @@ def _premlp_bwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     dx_ref[:] = (dx_ln + g).astype(dx_ref.dtype)
 
 
-@jax.custom_vjp
-def fused_premlp_res(x, gamma, beta, w1, b1, w2, b2):
-    """out = x + W2·gelu(W1·LN(x)); x [M, C] (M a 256-multiple), row-shaped
-    LN/bias params [1, ·]."""
-    out, _ = _premlp_fwd(x, gamma, beta, w1, b1, w2, b2)
-    return out
-
-
-def _premlp_fwd(x, gamma, beta, w1, b1, w2, b2):
+def _premlp_fwd_call(x, gamma, beta, w1, b1, w2, b2):
     m, c = x.shape
     hdim = w1.shape[1]
     tm = _pick_tile_m(m)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         _premlp_fwd_kernel,
         grid=(m // tm,),
         cost_estimate=_mlp_cost(m, c, hdim, c, 1, 2 * m * c * 2),
@@ -595,18 +744,15 @@ def _premlp_fwd(x, gamma, beta, w1, b1, w2, b2):
         out_shape=jax.ShapeDtypeStruct((m, c), x.dtype),
         interpret=_interpret(),
     )(x, gamma, beta, w1, b1, w2, b2)
-    return out, (x, gamma, beta, w1, b1, w2, b2)
 
 
-def _premlp_bwd(res, g):
-    x, gamma, beta, w1, b1, w2, b2 = res
+def _premlp_bwd_call(x, gamma, beta, w1, b1, w2, b2, g):
     m, c = x.shape
     hdim = w1.shape[1]
     tm = _pick_tile_m(m)
     n_tiles = m // tm
     f32 = _PARTIAL_DTYPE
-
-    outs = pl.pallas_call(
+    return tuple(pl.pallas_call(
         _premlp_bwd_kernel,
         grid=(n_tiles,),
         cost_estimate=_mlp_cost(
@@ -627,7 +773,115 @@ def _premlp_bwd(res, g):
                    jax.ShapeDtypeStruct((n_tiles, hdim, c), f32),
                    jax.ShapeDtypeStruct((n_tiles, 1, c), f32)],
         interpret=_interpret(),
-    )(x, gamma, beta, w1, b1, w2, b2, g)
+    )(x, gamma, beta, w1, b1, w2, b2, g))
+
+
+def _make_row_sharded(fwd_call, bwd_call, n_const):
+    """sp dispatch + custom_vmap wrappers for a single-row-stream fused
+    kernel pair: fwd_call(x, *consts) -> out row-array;
+    bwd_call(x, *consts, g) -> (dx, *partial_stacks). Returns
+    (raw_fwd, raw_bwd) with the same layering as _make_fused_fn — rows
+    shard over the sp mesh when set, the vmapped model path flattens
+    [B, M] into rows (row-elementwise: exact), partial weight-grad stacks
+    come back unbatched/concatenated for the caller's f32 tree-sum."""
+    import jax.custom_batching as _cb
+    from jax.sharding import PartitionSpec as _P
+
+    def _fwd_dispatch(x, *consts):
+        mesh, axes = _sp_row_mesh(x.shape[0])
+        if mesh is None:
+            return fwd_call(x, *consts)
+        if not axes:
+            raise NotImplementedError(
+                f"fused kernel under sp: rows={x.shape[0]} does not shard "
+                f"over mesh {dict(mesh.shape)}")
+        row, con = _P(axes, None), _P(None, None)
+        fn = jax.shard_map(fwd_call, mesh=mesh, check_vma=False,
+                           in_specs=(row,) + (con,) * n_const,
+                           out_specs=row)
+        return fn(x, *consts)
+
+    def _bwd_dispatch(x, *rest):
+        consts, g = rest[:n_const], rest[n_const]
+        mesh, axes = _sp_row_mesh(x.shape[0])
+        if mesh is None:
+            return bwd_call(x, *consts, g)
+        if not axes:
+            raise NotImplementedError(
+                f"fused kernel under sp: rows={x.shape[0]} does not shard "
+                f"over mesh {dict(mesh.shape)}")
+        row, con = _P(axes, None), _P(None, None)
+        acc = _P(axes, None, None)
+        n_part = len(jax.eval_shape(
+            lambda *a: bwd_call(*a), x, *consts, g)) - 1
+
+        fn = jax.shard_map(bwd_call, mesh=mesh, check_vma=False,
+                           in_specs=(row,) + (con,) * n_const + (row,),
+                           out_specs=(row,) + (acc,) * n_part)
+        return fn(x, *consts, g)
+
+    _leaves = jax.tree_util.tree_leaves
+
+    @_cb.custom_vmap
+    def raw_fwd(x, *consts):
+        return _fwd_dispatch(x, *consts)
+
+    @raw_fwd.def_vmap
+    def _fwd_rule(axis_size, in_batched, x, *consts):
+        if not in_batched[0] or any(_leaves(in_batched[1:])):
+            raise NotImplementedError(
+                "fused kernel vmap expects batched rows, shared weights")
+        from gen_fvgn_tpu.ops import blocksparse as _bs
+        if _bs._SP_MESH is None:
+            return jax.vmap(lambda xi: fwd_call(xi, *consts))(x), True
+        out = _fwd_dispatch(x.reshape(-1, x.shape[-1]), *consts)
+        return out.reshape(axis_size, -1, out.shape[-1]), True
+
+    @_cb.custom_vmap
+    def raw_bwd(x, *rest):
+        return _bwd_dispatch(x, *rest)
+
+    @raw_bwd.def_vmap
+    def _bwd_rule(axis_size, in_batched, x, *rest):
+        if not in_batched[0] or not in_batched[-1] \
+                or any(_leaves(in_batched[1:-1])):
+            raise NotImplementedError(
+                "fused kernel bwd vmap expects batched rows/cotangents, "
+                "shared weights")
+        consts, g = rest[:n_const], rest[n_const]
+        from gen_fvgn_tpu.ops import blocksparse as _bs
+        if _bs._SP_MESH is None:
+            outs = jax.vmap(
+                lambda xi, gi: bwd_call(xi, *consts, gi))(x, g)
+            return outs, (True,) * len(outs)
+        flat = lambda a: a.reshape(-1, a.shape[-1])
+        outs = _bwd_dispatch(flat(x), *consts, flat(g))
+        dx = outs[0].reshape(axis_size, -1, outs[0].shape[-1])
+        return (dx,) + tuple(outs[1:]), (True,) + (False,) * (len(outs) - 1)
+
+    return raw_fwd, raw_bwd
+
+
+_premlp_raw_fwd, _premlp_raw_bwd = _make_row_sharded(
+    _premlp_fwd_call, _premlp_bwd_call, n_const=6)
+
+
+@jax.custom_vjp
+def fused_premlp_res(x, gamma, beta, w1, b1, w2, b2):
+    """out = x + W2·gelu(W1·LN(x)); x [M, C] (M a 256-multiple), row-shaped
+    LN/bias params [1, ·]."""
+    out, _ = _premlp_fwd(x, gamma, beta, w1, b1, w2, b2)
+    return out
+
+
+def _premlp_fwd(x, gamma, beta, w1, b1, w2, b2):
+    out = _premlp_raw_fwd(x, gamma, beta, w1, b1, w2, b2)
+    return out, (x, gamma, beta, w1, b1, w2, b2)
+
+
+def _premlp_bwd(res, g):
+    x, gamma, beta, w1, b1, w2, b2 = res
+    outs = _premlp_raw_bwd(x, gamma, beta, w1, b1, w2, b2, g)
     dx, pdg, pdbe, pdw1, pdb1, pdw2, pdb2 = outs
     cast = lambda t, like: t.sum(0, dtype=jnp.float32).astype(like.dtype)
     return (dx, cast(pdg, gamma), cast(pdbe, beta), cast(pdw1, w1),
@@ -687,20 +941,12 @@ def _noln_bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                         preferred_element_type=jnp.float32).astype(dx_ref.dtype)
 
 
-@jax.custom_vjp
-def fused_mlp_noln(x, w1, b1, w2, b2, w3, b3):
-    """y = W3·gelu(W2·gelu(W1·x + b1) + b2) + b3, no LN; all widths
-    lane-aligned (the caller pads W3/b3), x [M, K] with M a 256-multiple."""
-    out, _ = _noln_fwd(x, w1, b1, w2, b2, w3, b3)
-    return out
-
-
-def _noln_fwd(x, w1, b1, w2, b2, w3, b3):
+def _noln_fwd_call(x, w1, b1, w2, b2, w3, b3):
     m, k = x.shape
     h = w2.shape[0]
     d = w3.shape[1]
     tm = _pick_tile_m(m)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         _noln_fwd_kernel,
         grid=(m // tm,),
         cost_estimate=_mlp_cost(m, k, h, d, 1, m * (k + d) * 2),
@@ -711,19 +957,16 @@ def _noln_fwd(x, w1, b1, w2, b2, w3, b3):
         out_shape=jax.ShapeDtypeStruct((m, d), x.dtype),
         interpret=_interpret(),
     )(x, w1, b1, w2, b2, w3, b3)
-    return out, (x, w1, b1, w2, b2, w3, b3)
 
 
-def _noln_bwd(res, g):
-    x, w1, b1, w2, b2, w3, b3 = res
+def _noln_bwd_call(x, w1, b1, w2, b2, w3, b3, g):
     m, k = x.shape
     h = w2.shape[0]
     d = w3.shape[1]
     tm = _pick_tile_m(m)
     n_tiles = m // tm
     f32 = _PARTIAL_DTYPE
-
-    outs = pl.pallas_call(
+    return tuple(pl.pallas_call(
         _noln_bwd_kernel,
         grid=(n_tiles,),
         cost_estimate=_mlp_cost(
@@ -744,7 +987,29 @@ def _noln_bwd(res, g):
                    jax.ShapeDtypeStruct((n_tiles, h, d), f32),
                    jax.ShapeDtypeStruct((n_tiles, 1, d), f32)],
         interpret=_interpret(),
-    )(x, w1, b1, w2, b2, w3, b3, g)
+    )(x, w1, b1, w2, b2, w3, b3, g))
+
+
+_noln_raw_fwd, _noln_raw_bwd = _make_row_sharded(
+    _noln_fwd_call, _noln_bwd_call, n_const=6)
+
+
+@jax.custom_vjp
+def fused_mlp_noln(x, w1, b1, w2, b2, w3, b3):
+    """y = W3·gelu(W2·gelu(W1·x + b1) + b2) + b3, no LN; all widths
+    lane-aligned (the caller pads W3/b3), x [M, K] with M a 256-multiple."""
+    out, _ = _noln_fwd(x, w1, b1, w2, b2, w3, b3)
+    return out
+
+
+def _noln_fwd(x, w1, b1, w2, b2, w3, b3):
+    out = _noln_raw_fwd(x, w1, b1, w2, b2, w3, b3)
+    return out, (x, w1, b1, w2, b2, w3, b3)
+
+
+def _noln_bwd(res, g):
+    x, w1, b1, w2, b2, w3, b3 = res
+    outs = _noln_raw_bwd(x, w1, b1, w2, b2, w3, b3, g)
     dx, pdw1, pdb1, pdw2, pdb2, pdw3, pdb3 = outs
     cast = lambda t, like: t.sum(0, dtype=jnp.float32).astype(like.dtype)
     return (dx, cast(pdw1, w1), cast(pdb1, b1), cast(pdw2, w2),

@@ -73,29 +73,32 @@ def single_device_kernels_disabled():
 
 @contextlib.contextmanager
 def sp_kernel_context(dp: int, sp: int):
-    """Kernel dispatch for an sp>1 run: the streaming-spmm kernels STAY ON,
-    wrapped per-apply in shard_map over the sp axis (each device runs the
-    binner on its own out-tile shard of the operator against the
-    sp-gathered operand — blocksparse.set_sp_mesh); the fused MLP /
-    attention kernels fall back to XLA, which GSPMD row-partitions fine
-    (they are elementwise over entity rows). backend auto-gating still
-    applies: on CPU the spmm applies take the XLA path unless a test forces
-    use_pallas_spmm(True) (interpret-mode shard_map, how the virtual-mesh
-    equivalence tests and the dryrun certify this path without a pod).
+    """Kernel dispatch for an sp>1 run: the streaming-spmm kernels AND the
+    fused-MLP kernels STAY ON, each wrapped per-apply in shard_map over the
+    mesh (spmm: each device runs the binner on its own out-tile shard of
+    the operator against the sp-gathered operand, blocksparse.set_sp_mesh;
+    fused MLP forms: row-elementwise, each device runs its own row shard
+    against replicated weights, fused_mlp._sp_row_mesh — weight-grad
+    partial stacks concatenate across devices into the same f32 tree-sum).
+    Only the fused slice-attention kernel falls back to XLA, which GSPMD
+    row-partitions fine (its token pooling would need an in-kernel psum;
+    the measured fallback cost is ~1 ms/step ≈ 3% on the bench workload —
+    scripts/spmm_ab.py `noattn` vs default, ROUND_NOTES round-3 session 4).
+    Backend auto-gating still applies: on CPU the spmm applies take the XLA
+    path unless a test forces use_pallas_spmm(True) (interpret-mode
+    shard_map, how the virtual-mesh equivalence tests and the dryrun
+    certify this path without a pod).
 
     Enter BEFORE tracing/initializing anything (the toggles are
     process-global); restores single-device dispatch on exit."""
-    from gen_fvgn_tpu.models import mlp as mlp_mod
     from gen_fvgn_tpu.models import transolver as tr_mod
     from gen_fvgn_tpu.ops import blocksparse as bs
-    mlp_mod.use_fused_mlp(False)
     tr_mod.use_fused_attn(False)
     bs.set_sp_mesh(make_dp_sp_mesh(dp, sp))
     try:
         yield
     finally:
         bs.set_sp_mesh(None)
-        mlp_mod.use_fused_mlp(True)
         tr_mod.use_fused_attn(True)
 
 

@@ -162,7 +162,10 @@ def parse_entry_traffic(hlo_text: str):
         m2 = re.search(r'source_file="([^"]+)".*?source_line=(\d+)', rhs)
         src_tag = (f"{os.path.basename(m2.group(1))}:{m2.group(2)}"
                    if m2 else f"[{kind}]")
-        rows.append((lbytes, kind, op_tag, src_tag, pbytes))
+        # trailing element: the HLO instruction NAME — the join key against
+        # profiler trace events (the "XLA Ops" lane events are named by
+        # instruction), used by profile_block_step.py's roofline table
+        rows.append((lbytes, kind, op_tag, src_tag, pbytes, name))
     return rows
 
 
@@ -238,7 +241,7 @@ def _report(hlo: str, ms: float, args) -> None:
 
     # aggregate by source attribution
     by_src = defaultdict(lambda: [0.0, 0.0])
-    for nbytes, kind, op_name, src, pbytes in rows:
+    for nbytes, kind, op_name, src, pbytes, _name in rows:
         by_src[src][0] += nbytes
         by_src[src][1] += pbytes
     top = sorted(by_src.items(), key=lambda kv: -kv[1][1])[: args.top]

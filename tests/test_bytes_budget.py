@@ -55,6 +55,10 @@ def test_parser_accounting_rules():
     root = [r for r in rows if r[1] == "add"]
     assert len(root) == 1 and root[0][0] == 3 * 512 * 128 * 4
 
+    # instruction NAME rides along as the trace-join key (element 5)
+    assert root[0][5] == "out"
+    assert {r[5] for r in rows} >= {"fusion.1", "narrow", "out"}
+
 
 def test_physical_padding_model():
     # [512, 7] f32 pads lanes 7 -> 128 (18.3x)
