@@ -32,10 +32,45 @@ from gen_fvgn_tpu.ops.blocksparse import (LinOp, build_linop, gather_coo,
 from gen_fvgn_tpu.utils.types import NodeType
 
 
-def rcm_reorder(raw_mesh: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    """Reverse-Cuthill-McKee node reordering + cell reordering by minimum new
-    node id, applied to a RAW mesh dict (before compile_mesh). Bandwidth of
-    every derived operator drops to O(boundary width)."""
+def hilbert_order(pos: np.ndarray, bits: int = 16) -> np.ndarray:
+    """Node permutation by Hilbert space-filling-curve index of the 2-D
+    positions (the classical locality-preserving alternative to graph-based
+    orderings). Coordinates normalize into a 2^bits grid; the d2xy rotation
+    recurrence runs vectorized over all nodes per bit level."""
+    p = pos[:, :2].astype(np.float64)
+    lo, hi = p.min(axis=0), p.max(axis=0)
+    span = np.maximum(hi - lo, 1e-300)
+    n_side = 1 << bits
+    xy = np.minimum((p - lo) / span * n_side, n_side - 1).astype(np.uint64)
+    x, y = xy[:, 0].copy(), xy[:, 1].copy()
+    d = np.zeros(pos.shape[0], np.uint64)
+    s = np.uint64(n_side // 2)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.uint64)
+        ry = ((y & s) > 0).astype(np.uint64)
+        d += s * s * ((np.uint64(3) * rx) ^ ry)
+        # rotate quadrant
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x_f, y_f = x.copy(), y.copy()
+        x = np.where(swap, y_f, x)
+        y = np.where(swap, x_f, y)
+        x = np.where(flip, np.uint64(s - 1) - x, x)
+        y = np.where(flip, np.uint64(s - 1) - y, y)
+        s >>= np.uint64(1)
+    return np.argsort(d, kind="stable")
+
+
+def rcm_reorder(raw_mesh: Dict[str, np.ndarray],
+                method: str = "rcm") -> Dict[str, np.ndarray]:
+    """Node reordering + cell reordering by minimum new node id, applied to
+    a RAW mesh dict (before compile_mesh).
+
+    method="rcm" (default): Reverse-Cuthill-McKee on the face adjacency —
+    bandwidth of every derived operator drops to O(boundary width).
+    method="hilbert": Hilbert space-filling-curve order of node positions —
+    the ordering A/B alternative (locality without explicit banding;
+    measured on the bench cases by scripts/ordering_ab.py)."""
     import scipy.sparse as sp
     from scipy.sparse.csgraph import reverse_cuthill_mckee
 
@@ -44,14 +79,19 @@ def rcm_reorder(raw_mesh: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     cells_index = raw_mesh["cells_index"]
     n = pos.shape[0]
 
-    # adjacency from cell co-membership consecutive pairs
-    from gen_fvgn_tpu.meshes.geometry import unique_faces
-    face_node, _ = unique_faces(cells_node, cells_index)
-    adj = sp.csr_matrix(
-        (np.ones(2 * face_node.shape[1], bool),
-         (np.concatenate([face_node[0], face_node[1]]),
-          np.concatenate([face_node[1], face_node[0]]))), shape=(n, n))
-    perm = np.asarray(reverse_cuthill_mckee(adj, symmetric_mode=True))
+    if method == "hilbert":
+        perm = hilbert_order(pos)
+    elif method == "rcm":
+        # adjacency from cell co-membership consecutive pairs
+        from gen_fvgn_tpu.meshes.geometry import unique_faces
+        face_node, _ = unique_faces(cells_node, cells_index)
+        adj = sp.csr_matrix(
+            (np.ones(2 * face_node.shape[1], bool),
+             (np.concatenate([face_node[0], face_node[1]]),
+              np.concatenate([face_node[1], face_node[0]]))), shape=(n, n))
+        perm = np.asarray(reverse_cuthill_mckee(adj, symmetric_mode=True))
+    else:
+        raise ValueError(f"unknown ordering method {method!r}")
     rank = np.empty(n, np.int64)
     rank[perm] = np.arange(n)
 

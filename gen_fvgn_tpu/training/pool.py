@@ -65,11 +65,15 @@ def prepare_mesh_statics(mesh: Dict[str, np.ndarray], order: str,
     return mesh
 
 
-def ensure_rcm(mesh: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+def ensure_rcm(mesh: Dict[str, np.ndarray],
+               method: str = "rcm") -> Dict[str, np.ndarray]:
     """Re-derive a compiled mesh with RCM node ordering (block engine
     requirement: banded operators). Idempotent-ish: re-running RCM on an
-    already-banded mesh is harmless."""
+    already-banded mesh is harmless. method="hilbert" selects the
+    space-filling-curve ordering instead (perf A/B, scripts/ordering_ab.py);
+    overridable globally via GFVGN_ORDERING for step-level experiments."""
     from gen_fvgn_tpu.graph.operators import rcm_reorder
+    method = os.environ.get("GFVGN_ORDERING", method)
     raw = {
         "node|pos": mesh["node|pos"],
         "node|node_type": np.asarray(mesh["node|node_type"]).reshape(-1),
@@ -79,7 +83,7 @@ def ensure_rcm(mesh: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         "cells_node": mesh["cells_node"],
         "cells_index": mesh["cells_index"],
     }
-    return compile_mesh(rcm_reorder(raw))
+    return compile_mesh(rcm_reorder(raw, method=method))
 
 
 def load_case(case_dir: str, order: str = "2nd") -> Dict:

@@ -97,16 +97,27 @@ def main(argv=None):
         n_time_steps=args.steps, inner_steps=args.inner, lr=args.lr)
     wall = time.time() - t0
 
+    from gen_fvgn_tpu.fv.mass import node_mass_imbalance_l1
+
     crossings = {}
     curve = []
     for i, rec in enumerate(hist):
         cont = float(rec["loss_cont"][0])
         mom = float(rec["loss_mom_x"][0] + rec["loss_mom_y"][0])
-        curve.append({"step": i, "cont": cont, "mom": mom,
+        # COMMON criterion vs the SIMPLE denominator (fv/mass.py): the same
+        # Σ|net flux|/Q_in statistic simple_solver.py's mass_res uses,
+        # evaluated with the framework's native node-mean face flux
+        uvp_n = rec["uvp_node"][0, :n]
+        mass, _ = node_mass_imbalance_l1(mesh, uvp_n[:, 0], uvp_n[:, 1])
+        curve.append({"step": i, "cont": cont, "mom": mom, "mass": mass,
                       "inner_final_loss": float(rec["inner_losses"][-1])})
         for th in thresholds:
             if cont < th and f"cont<{th}" not in crossings:
                 crossings[f"cont<{th}"] = {
+                    "iterations": (i + 1) * args.inner, "time_steps": i + 1,
+                    "wall_s_est": wall * (i + 1) / len(hist)}
+            if mass < th and f"mass<{th}" not in crossings:
+                crossings[f"mass<{th}"] = {
                     "iterations": (i + 1) * args.inner, "time_steps": i + 1,
                     "wall_s_est": wall * (i + 1) / len(hist)}
     result = {
