@@ -186,11 +186,14 @@ def _train_block(cfg, case_dirs, cases, log_base_dir, seed, n_epochs,
                                              seed=seed)
     if resume_from is not None:
         state = load_state(resume_from, like=state)
-    if cfg.mixed_case_batches and cfg.sp_devices > 1:
-        raise NotImplementedError(
-            "mixed_case_batches + sp sharding: mixed groups dispatch "
-            "per-case jits whose operand layouts conflict with sp's "
-            "operator sharding; use stratified batches with sp")
+    # mixed + sp composes through the same wiring as mixed + dp: each
+    # group's rows shard over the dp axis of the 2-D mesh
+    # (MixedTrainStepBlock._shard_group P("dp") replicates over sp), the
+    # per-case statics arrive sp-sharded from the statics list below, and
+    # the sp-aware kernels (shard_map spmm + row-sharded fused MLP) handle
+    # every group size the pool emits (groups pad to dp multiples; entity
+    # rows pad to tile*sp). Equivalence vs the single-device mixed step:
+    # tests/test_sp_fused.py::test_mixed_sp_matches_single_device.
     step = make_train_step_block(cfg, apply_fn)
 
     # data parallelism: dyn batch sharded over the dp mesh, params/opt state

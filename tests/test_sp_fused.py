@@ -240,3 +240,81 @@ def test_block_step_sp_fused_matches_unsharded():
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    rtol=1e-3, atol=2.2 * cfg.lr)
+
+
+def test_mixed_sp_matches_single_device():
+    """mixed_case_batches + sp (round-4 verdict #4): the SAME mixed batch
+    run with group rows sharded over the dp axis of a dp2xsp4 mesh and
+    per-case statics sp-sharded must reproduce the single-device mixed
+    step — loss and updated params — up to GSPMD reduction-order noise."""
+    from gen_fvgn_tpu.meshes.synthetic import cavity_tri_mesh
+    from gen_fvgn_tpu.parallel.sp import (replicate_state, shard_static_sp)
+    from gen_fvgn_tpu.training.pool import EnvPool
+    from gen_fvgn_tpu.training.train_block import (MixedTrainStepBlock,
+                                                   init_train_state_block)
+
+    cfg = Config(batch_size=4, dataset_size=8, microbatch=0,
+                 norm_global=True, mxu_dtype="float32", hidden_size=32,
+                 message_passing_num=1, slice_num=8, attn_heads=4, lr=2e-3,
+                 engine="block", mixed_case_batches=True)
+    cases = [synthetic_case(cavity_quad_mesh(6), name="quad", source=1.0,
+                            mu=0.1),
+             synthetic_case(cavity_tri_mesh(5), name="tri", source=1.0,
+                            mu=0.1)]
+    pool = EnvPool([], cfg, seed=0, cases=cases, engine="block",
+                   dataset_size=8, pad_multiple=256 * 4)
+    dyn0 = pool.gather_block(np.arange(4, dtype=np.int32))
+    state, apply_fn = init_train_state_block(cfg, dyn0, pool.statics[0],
+                                             seed=0)
+
+    batches = pool.mixed_block_batches(step_seed=3, n_dev=2)
+    mixed_1 = MixedTrainStepBlock(cfg, apply_fn)
+    s1 = state
+    for batch in batches:
+        s1, m1 = mixed_1.run_batch(s1, batch, pool.gather_block,
+                                   pool.statics)
+
+    mesh = make_dp_sp_mesh(2, 4)
+    statics_sh = [shard_static_sp(s, mesh) for s in pool.statics]
+    mixed_sp = MixedTrainStepBlock(cfg, apply_fn, mesh=mesh)
+    s2 = replicate_state(state, mesh)
+    bs.set_sp_mesh(mesh)
+    try:
+        for batch in batches:
+            s2, m2 = mixed_sp.run_batch(s2, batch, pool.gather_block,
+                                        statics_sh)
+    finally:
+        bs.set_sp_mesh(None)
+
+    np.testing.assert_allclose(float(m2.loss), float(m1.loss),
+                               rtol=1e-5, atol=1e-7)
+    flat1, _ = jax.tree_util.tree_flatten_with_path(s1.params)
+    flat2, _ = jax.tree_util.tree_flatten_with_path(s2.params)
+    for (path, a), (_, b) in zip(flat2, flat1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=4.4 * cfg.lr,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_mixed_sp_loop_driver(tmp_path):
+    """End-to-end mixed + sp through training.loop.train (dp2 x sp4):
+    the previously-guarded combination must run, shard the params over all
+    8 devices, and finish with finite normalizer state."""
+    from gen_fvgn_tpu.meshes.synthetic import cavity_tri_mesh
+    from gen_fvgn_tpu.training.loop import train
+
+    cfg = Config(batch_size=4, dataset_size=4, n_epochs=2,
+                 max_inner_steps=2, dp_devices=2, sp_devices=4,
+                 norm_global=True, mxu_dtype="float32", hidden_size=32,
+                 message_passing_num=1, slice_num=8, attn_heads=4, lr=2e-3,
+                 engine="block", mixed_case_batches=True)
+    cases = [synthetic_case(cavity_quad_mesh(5), name="quad", source=1.0,
+                            mu=0.1),
+             synthetic_case(cavity_tri_mesh(5), name="tri", source=1.0,
+                            mu=0.1)]
+    state = train(cfg, cases=cases, log_base_dir=str(tmp_path / "msp"),
+                  seed=0)
+    assert int(state.epoch) == 2
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+    assert np.isfinite(np.asarray(state.norm_state.acc_sum)).all()
