@@ -132,7 +132,12 @@ def main(argv=None):
     cfg = Config(batch_size=args.batch, dataset_size=args.dataset,
                  mxu_dtype="bfloat16", lr=args.lr, engine="block",
                  mixed_case_batches=True, max_inner_steps=args.inner,
-                 average_sequence_length=args.seq_len)
+                 average_sequence_length=args.seq_len,
+                 # key the 3-phase lr schedule to THIS run's length
+                 # (reference parity: pre_train_Adam.py milestones are
+                 # fractions of the run's epochs; Config's 210k default
+                 # would keep lr constant for any shorter run)
+                 n_epochs=args.epochs)
     cases = build_cases(cfg.order)
     pad_multiple = 128
 

@@ -61,7 +61,10 @@ def main(argv=None):
     cfg = Config(batch_size=args.batch, dataset_size=args.batch,
                  mxu_dtype="bfloat16", lr=args.lr, engine="block",
                  max_inner_steps=args.inner,
-                 average_sequence_length=args.seq_len)
+                 average_sequence_length=args.seq_len,
+                 # key the 3-phase lr schedule to THIS run's length (the
+                 # 210k Config default leaves lr constant on shorter runs)
+                 n_epochs=args.epochs)
     cases, case_dirs = None, ()
     if args.demo == "wave-cavity":
         cases = [build_wave_case()]
