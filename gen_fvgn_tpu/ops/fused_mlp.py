@@ -508,8 +508,14 @@ def _make_fused_fn(res_idx: Optional[int], res_dual: bool):
     def _fwd_rule(axis_size, in_batched, parts, w1s, pres, *consts):
         if any(_leaves(in_batched[1])) or any(_leaves(in_batched[3:])) \
                 or not all(_leaves(in_batched[0]) + _leaves(in_batched[2])):
-            raise NotImplementedError(
-                "fused MLP vmap expects batched row streams, shared weights")
+            # general case (e.g. per-lane weights): vmap the single-device
+            # call over whatever is batched — pallas batches the grid; the
+            # sp shard_map fast path only covers shared-weight batches
+            in_axes = jax.tree_util.tree_map(
+                lambda b: 0 if b else None, in_batched)
+            outs = jax.vmap(fwd_call, in_axes=tuple(in_axes))(
+                parts, w1s, pres, *consts)
+            return outs, (True,) * n_out
         from gen_fvgn_tpu.ops import blocksparse as _bs
         if _bs._SP_MESH is None:
             outs = jax.vmap(
@@ -532,9 +538,14 @@ def _make_fused_fn(res_idx: Optional[int], res_dual: bool):
         if any(_leaves(in_batched[1])) or any(_leaves(in_batched[3:9])) \
                 or not all(_leaves(in_batched[0]) + _leaves(in_batched[2])
                            + _leaves(in_batched[9])):
-            raise NotImplementedError(
-                "fused MLP bwd vmap expects batched rows/cotangents, "
-                "shared weights")
+            # general case (per-lane weights / partial batching): vmap the
+            # single-device call; every output (row grads AND weight-grad
+            # accumulator stacks) comes back per-lane
+            in_axes = jax.tree_util.tree_map(
+                lambda b: 0 if b else None, in_batched)
+            outs = jax.vmap(bwd_call, in_axes=tuple(in_axes))(
+                parts, w1s, pres, *consts, douts)
+            return outs, (True,) * len(outs)
         n_parts, n_pre = len(parts), len(pres)
         from gen_fvgn_tpu.ops import blocksparse as _bs
         if _bs._SP_MESH is None:
