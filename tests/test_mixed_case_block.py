@@ -286,16 +286,10 @@ def test_mixed_loop_driver(tmp_path):
     assert np.isfinite(np.asarray(state.norm_state.acc_sum)).all()
 
 
-def test_mixed_sp_raises():
-    """mixed + sp stays explicitly unsupported (per-case group jits
-    conflict with sp's operator sharding); mixed + dp is implemented
-    (see test_mixed_dp_matches_single_device / test_mixed_dp_loop_driver)."""
-    from gen_fvgn_tpu.training.loop import train
-    cfg = Config(batch_size=2, dataset_size=2, n_epochs=1, max_inner_steps=1,
-                 sp_devices=2, **BASE)
-    case = synthetic_case(cavity_quad_mesh(5), source=1.0, mu=0.1)
-    with pytest.raises(NotImplementedError):
-        train(cfg, cases=[case], log_base_dir="/tmp/mixed_sp_x", seed=0)
+# mixed + sp is now implemented (round-5): group rows shard over dp and
+# replicate over sp, statics arrive sp-sharded — covered by
+# tests/test_sp_fused.py::{test_mixed_sp_matches_single_device,
+# test_mixed_sp_loop_driver}.
 
 
 def test_mixed_dp_loop_driver():
