@@ -47,6 +47,14 @@ class Config:
     loss_cont: float = 6e4
     loss_mom: float = 5e4
     loss_press: float = 1.0
+    # per-sample floor inside the log loss (0 = off, reference parity).
+    # mean(log L_b) weights each sample's gradient by 1/L_b, so one
+    # fast-converging family (wave: weighted loss ~0.5 vs NS ~1e4)
+    # captures the shared weights by a ~1e4x relative factor and the
+    # other families freeze (measured: docs_assets_joint_family.json
+    # round-4/5 runs). log(max(L_b, floor)) zeroes the gradient of
+    # samples already below the floor, releasing the capture.
+    loss_log_floor: float = 0.0
 
     # dataset
     dataset_dir: str = "datasets/balanced_datasets"

@@ -143,7 +143,8 @@ def training_loss(outputs: ForwardOutputs, cfg: Config) -> jnp.ndarray:
                   + cfg.loss_cont * outputs.loss_cont
                   + cfg.loss_mom * outputs.loss_mom_x
                   + cfg.loss_mom * outputs.loss_mom_y)
-    return jnp.mean(jnp.log(jnp.maximum(loss_batch, 1e-30)))
+    floor = max(cfg.loss_log_floor, 1e-30)
+    return jnp.mean(jnp.log(jnp.maximum(loss_batch, floor)))
 
 
 def training_loss_weighted(outputs: ForwardOutputs, cfg: Config,
@@ -158,5 +159,6 @@ def training_loss_weighted(outputs: ForwardOutputs, cfg: Config,
                   + cfg.loss_cont * outputs.loss_cont
                   + cfg.loss_mom * outputs.loss_mom_x
                   + cfg.loss_mom * outputs.loss_mom_y)
-    logp = jnp.log(jnp.maximum(loss_batch, 1e-30))
+    floor = max(cfg.loss_log_floor, 1e-30)
+    logp = jnp.log(jnp.maximum(loss_batch, floor))
     return jnp.sum(weights.reshape(logp.shape) * logp)

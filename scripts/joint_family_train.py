@@ -115,6 +115,12 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--seq-len", type=int, default=200)
     ap.add_argument("--eval-steps", type=int, default=20)
+    ap.add_argument("--log-floor", type=float, default=100.0,
+                    help="cfg.loss_log_floor in WEIGHTED loss units "
+                         "(~mom 2e-3 at the default weights): releases "
+                         "log-loss gradient capture by the fastest-"
+                         "converging family (wave), without which NS and "
+                         "Poisson freeze (measured, round-5 notes)")
     ap.add_argument("--resume", default=None)
     ap.add_argument("--out", default="docs_assets_joint_family.json")
     ap.add_argument("--log-dir", default="/tmp/joint_family_runs")
@@ -137,7 +143,7 @@ def main(argv=None):
                  # (reference parity: pre_train_Adam.py milestones are
                  # fractions of the run's epochs; Config's 210k default
                  # would keep lr constant for any shorter run)
-                 n_epochs=args.epochs)
+                 n_epochs=args.epochs, loss_log_floor=args.log_floor)
     cases = build_cases(cfg.order)
     pad_multiple = 128
 

@@ -8,6 +8,8 @@ injection each epoch), trains, and the trained network rolls out on fresh
 held-out envs of EVERY family with finite residuals.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -84,3 +86,54 @@ def test_joint_three_family_train_and_rollout():
         # pressure cannot stay identically zero
         if wave_fn is not None:
             assert np.abs(hist[-1]["uvp_node"][..., 2]).max() > 0
+
+
+def test_joint_family_asset_per_family_improvement():
+    """Regression pin on the COMMITTED cross-family asset (round-4 verdict
+    #2): one joint training session must improve the held-out rollout
+    residual of EVERY family — NS, Poisson, and wave — by >=2x from the
+    untrained network (scripts/joint_family_train.py writes the asset;
+    reference headline: README.md:9, combo mixing Load_mesh.py:600-612)."""
+    import json
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "docs_assets_joint_family.json")
+    summary = json.load(open(path))["summary"]
+    for fam, init in summary["heldout_init"].items():
+        trained = summary["heldout_trained"][fam]
+        keys = [k for k in ("cont", "mom_x", "mom_y") if init[k] > 1e-8]
+        total0 = sum(init[k] for k in keys)
+        total1 = sum(trained[k] for k in keys)
+        assert total1 * 2.0 <= total0, (
+            f"{fam}: held-out {total0:.4g} -> {total1:.4g} "
+            f"(improvement {total0 / max(total1, 1e-30):.2f}x < 2x)")
+
+
+def test_loss_log_floor_releases_gradient_capture():
+    """cfg.loss_log_floor semantics: a sample whose weighted loss is below
+    the floor contributes ZERO gradient (its log is clamped), while samples
+    above the floor keep the exact 1/L_b log-loss gradient — the release
+    mechanism for cross-family gradient capture (round-5 notes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gen_fvgn_tpu.training.forward import ForwardOutputs, training_loss
+
+    def make_outputs(mom_x):
+        z = jnp.zeros_like(mom_x)
+        return ForwardOutputs(loss_cont=z, loss_mom_x=mom_x, loss_mom_y=z,
+                              loss_press=z, uvp_node_new=None,
+                              uvp_cell_new=None, norm_state=None)
+
+    cfg_off = Config(loss_log_floor=0.0, **BASE)
+    cfg_on = Config(loss_log_floor=100.0, **BASE)
+    # weighted losses: 5e4*2e-2 = 1000 (above floor), 5e4*2e-7 = 0.01 (below)
+    mom = jnp.asarray([[2e-2], [2e-7]])
+
+    g_off = jax.grad(lambda m: training_loss(make_outputs(m), cfg_off))(mom)
+    g_on = jax.grad(lambda m: training_loss(make_outputs(m), cfg_on))(mom)
+
+    # above-floor sample: identical gradient; below-floor sample: released
+    assert np.allclose(np.asarray(g_on)[0], np.asarray(g_off)[0])
+    assert np.asarray(g_off)[1] != 0.0
+    assert np.asarray(g_on)[1] == 0.0
